@@ -1,0 +1,106 @@
+"""Typed configuration for the TPU-native DegNorm engine.
+
+Replaces the reference's argparse flags (reference ``degnorm/utils.py:195-315``)
+and the constants hard-coded inside ``GeneNMFOA.__init__``
+(reference ``degnorm/nmf.py:12-53``) with a single frozen dataclass, per the
+survey's recommendation (SURVEY.md §5.6).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class NMFConfig:
+    """Parameters of the NMF-over-approximation algorithm.
+
+    Defaults mirror reference ``degnorm/nmf.py:12-13`` exactly.
+    """
+
+    degnorm_iter: int = 5          # outer DegNorm iterations
+    nmf_iter: int = 100            # Lagrangian fixed-point iterations per NMF call
+    downsample_rate: int = 1       # systematic "take every r-th" column sample
+    min_high_coverage: int = 50    # min # of high-coverage positions to attempt NMF
+    bins: int = 20                 # baseline-selection trim bins
+    skip_baseline_selection: bool = False
+    random_state: int = 123
+
+    def __post_init__(self):
+        object.__setattr__(self, "degnorm_iter", abs(int(self.degnorm_iter)))
+        object.__setattr__(self, "nmf_iter", abs(int(self.nmf_iter)))
+        object.__setattr__(self, "bins", abs(int(self.bins)))
+        object.__setattr__(self, "downsample_rate", abs(int(self.downsample_rate)))
+
+    @property
+    def effective_min_high_coverage(self) -> int:
+        # Reference forces this to 2 whenever downsampling (nmf.py:34,51-53),
+        # otherwise max(2, min_high_coverage).
+        if self.downsample_rate > 1:
+            return 2
+        return max(2, abs(int(self.min_high_coverage)))
+
+    @property
+    def min_bins(self) -> int:
+        # ceil(bins * 0.2)  (nmf.py:35)
+        return int(math.ceil(self.bins * 0.2))
+
+    @property
+    def min_gene_len(self) -> int:
+        # max(2, ceil(200 / downsample_rate))  (nmf.py:261)
+        return max(2, int(math.ceil(200.0 / self.downsample_rate)))
+
+    @property
+    def max_trim_rounds(self) -> int:
+        """Upper bound on baseline-selection trim-loop rounds.
+
+        Each round drops exactly one bin and the loop halts at ``min_bins``
+        bins (nmf.py:323), so at most ``bins - min_bins`` drops occur — 16 at
+        the defaults.  Our device kernel runs a bounded masked loop of this
+        length (SURVEY.md §7.2).
+        """
+        return max(self.bins - self.min_bins, 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Device-execution knobs of the TPU engine (no reference equivalent)."""
+
+    # Power-iteration steps for the dominant eigenpair of the p x p Gram
+    # matrix on a cold start and when warm-started from the previous
+    # Lagrangian iteration's vector.
+    power_iters_cold: int = 30
+    power_iters_warm: int = 6
+    # Computation dtype on device. float32 is TPU-native; the golden oracle
+    # runs float64 on host for parity gating.
+    dtype: str = "float32"
+    # Length-bucket edges used by the packer (positions). Genes are padded to
+    # the smallest bucket width >= L_i; widths are multiples of 128 lanes.
+    bucket_widths: Sequence[int] = (256, 512, 1024, 2048, 4096, 8192, 16384, 65536)
+    # Cap on genes per device batch within one bucket (memory guard).
+    max_genes_per_batch: int = 4096
+    # Gene-data-parallel mesh axis name.
+    mesh_axis: str = "genes"
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end pipeline options — the typed replacement for the CLI flag
+    set validated in reference ``degnorm/utils.py:318-484``."""
+
+    bam_files: Sequence[str] = ()
+    bai_files: Sequence[str] = ()
+    genome_annotation: Optional[str] = None
+    output_dir: str = "."
+    plot_genes: Sequence[str] = ()
+    warm_start_dir: Optional[str] = None
+    # Gene filters applied before NMF (reference __main__.py:221-238 and the
+    # MPI-only caps __main_mpi__.py:374-376, unified here per SURVEY.md §7.2).
+    minimax_coverage: int = 0
+    max_gene_length: int = 9_000_000
+    max_coverage: float = float(2 ** 31)
+    unique_alignments: bool = True
+    n_jobs: int = 1
+    nmf: NMFConfig = dataclasses.field(default_factory=NMFConfig)
+    engine: EngineConfig = dataclasses.field(default_factory=EngineConfig)
