@@ -72,6 +72,10 @@ class EngineConfig:
     # Lagrangian iteration's vector.
     power_iters_cold: int = 30
     power_iters_warm: int = 6
+    # Dominant-eigenpair extraction on the p x p Gram matrix: "power"
+    # (warm-started power iteration, TPU fast path) or "eigh" (exact batched
+    # eigendecomposition, parity/debug path).
+    rank1_method: str = "power"
     # Computation dtype on device. float32 is TPU-native; the golden oracle
     # runs float64 on host for parity gating.
     dtype: str = "float32"

@@ -1,0 +1,83 @@
+"""Batched masked NMF-over-approximation inner loop.
+
+Device equivalent of the reference's per-gene ``GeneNMFOA.nmf``
+(``degnorm/nmf.py:78-107``): a clipped-Lagrangian fixed point that
+repeatedly refits a rank-1 factorization to ``x + lambda``.  Runs for a whole
+(G, p, W) gene bucket at once under ``lax.fori_loop``; masked columns carry
+zero coverage and zero multipliers throughout, which is exact (the rank-1
+factors of [A | 0] are those of A — see core/linalg.py).
+
+The final over-approximation clip is intentionally NOT applied here: the
+reference comments it out inside ``nmf`` (nmf.py:104-106) and clips
+selectively at call sites (nmf.py:318,345,352,365).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from degnorm_tpu.core.linalg import masked_rank_one, outer_product
+
+
+def nmf_masked(
+    F: jnp.ndarray,
+    mask: jnp.ndarray,
+    *,
+    nmf_iter: int,
+    power_iters_cold: int = 30,
+    power_iters_warm: int = 6,
+    method: str = "power",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run the NMF-OA loop on a masked gene bucket.
+
+    Args:
+      F: (G, p, W) nonnegative coverage batch (already scale-adjusted).
+      mask: (G, W) active-column mask.
+      nmf_iter: number of Lagrangian iterations (reference ``nmf_iter``).
+
+    Returns (K, E, u): rank-1 factors (G,p), (G,W) and the final unit left
+    vector for warm starts. K, E are nonnegative (Perron orientation);
+    their product matches the reference's signed factors' product.
+    """
+    m = mask.astype(F.dtype)
+    A0 = F * m[:, None, :]
+
+    K, E, u = masked_rank_one(F, mask, n_iters=power_iters_cold, method=method)
+    lam = jnp.zeros_like(A0)
+    step = 1.0 / jnp.sqrt(jnp.asarray(nmf_iter, F.dtype))
+
+    def body(_, carry):
+        lam, K, E, u = carry
+        est = outer_product(K, E)
+        lam = jnp.maximum(lam - step * (est - A0), 0.0)
+        # lam is zero on masked columns (est and A0 both vanish there), so
+        # A0 + lam stays exactly masked.
+        K, E, u = masked_rank_one(A0 + lam, mask, n_iters=power_iters_warm,
+                                  u0=u, method=method)
+        return lam, K, E, u
+
+    lam, K, E, u = jax.lax.fori_loop(0, nmf_iter, body, (lam, K, E, u))
+    return K, E, u
+
+
+def ratio_svd_rowsums(
+    F: jnp.ndarray,
+    mask: jnp.ndarray,
+    *,
+    power_iters: int = 30,
+    method: str = "power",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Row sums of the one-shot clipped rank-1 over-approximation.
+
+    Device version of reference ``ratio_svd`` (nmf.py:109-121) returning only
+    what DegNorm initialization needs (nmf.py:522-526): per-sample sums of
+    max(K·E, F) and of F, both over active columns.
+    """
+    m = mask.astype(F.dtype)
+    K, E, _ = masked_rank_one(F, mask, n_iters=power_iters, method=method)
+    est = jnp.maximum(outer_product(K, E), F * m[:, None, :])
+    est_sums = jnp.einsum("gpw,gw->gp", est, m)
+    cov_sums = jnp.einsum("gpw,gw->gp", F, m)
+    return cov_sums, est_sums

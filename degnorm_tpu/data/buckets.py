@@ -1,0 +1,104 @@
+"""Length-bucket packing: ragged per-gene coverage matrices -> padded batches.
+
+The reference keeps a Python list of ragged (p x L_i) arrays and loops genes
+on host threads (nmf.py:126-140).  The TPU engine instead packs genes into a
+small number of fixed-width buckets — XLA requires static shapes, and the
+masked kernels in core/ are exact under zero padding (SURVEY.md §7.2).
+
+Gene length is power-law distributed (SURVEY.md §7.4), so bucket widths are
+geometric; widths are multiples of 128 to match TPU lane tiling.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class GeneBucket:
+    """A padded batch of same-width genes.
+
+    F: (G, p, W) float array, gene i padded with zeros beyond lengths[i].
+    gene_indices: (G,) indices into the engine's global gene order; -1 marks
+      padding genes (all-zero rows added to reach a device-friendly count).
+    lengths: (G,) true gene lengths.
+    """
+    width: int
+    F: np.ndarray
+    lengths: np.ndarray
+    gene_indices: np.ndarray
+
+    @property
+    def n_real(self) -> int:
+        return int(np.sum(self.gene_indices >= 0))
+
+    def len_mask(self) -> np.ndarray:
+        return np.arange(self.width)[None, :] < self.lengths[:, None]
+
+
+def pack_buckets(
+    cov_mats: Sequence[np.ndarray],
+    bucket_widths: Sequence[int] = (256, 512, 1024, 2048, 4096, 8192, 16384, 65536),
+    *,
+    dtype=np.float32,
+    pad_genes_to: int = 1,
+    max_genes_per_bucket: int = 0,
+) -> List[GeneBucket]:
+    """Pack ragged (p x L_i) matrices into padded GeneBuckets.
+
+    Genes longer than the largest configured width get ad-hoc buckets of
+    width round_up(L, 128).  ``pad_genes_to`` pads each bucket's gene count
+    up to a multiple (for even device sharding); padding genes are all-zero
+    and marked with gene_index -1 (they bail out of baseline selection with
+    rho == 0 and are dropped at unpack time).
+    """
+    if not cov_mats:
+        return []
+    p = cov_mats[0].shape[0]
+    widths = sorted(int(w) for w in bucket_widths)
+    groups: Dict[int, List[int]] = {}
+    for i, F in enumerate(cov_mats):
+        L = F.shape[1]
+        w = next((wd for wd in widths if L <= wd), None)
+        if w is None:
+            w = _round_up(L, 128)
+        groups.setdefault(w, []).append(i)
+
+    buckets: List[GeneBucket] = []
+    for w in sorted(groups):
+        idxs = groups[w]
+        chunks = [idxs] if max_genes_per_bucket <= 0 else [
+            idxs[s:s + max_genes_per_bucket]
+            for s in range(0, len(idxs), max_genes_per_bucket)
+        ]
+        for chunk in chunks:
+            g = len(chunk)
+            g_pad = _round_up(g, max(pad_genes_to, 1))
+            F = np.zeros((g_pad, p, w), dtype=dtype)
+            lengths = np.zeros(g_pad, dtype=np.int32)
+            gene_indices = np.full(g_pad, -1, dtype=np.int32)
+            for slot, gi in enumerate(chunk):
+                Li = cov_mats[gi].shape[1]
+                F[slot, :, :Li] = cov_mats[gi]
+                lengths[slot] = Li
+                gene_indices[slot] = gi
+            # zero-length padding genes break nothing, but give them length 1
+            # so len_mask arithmetic stays trivially valid.
+            lengths[g:] = 1
+            buckets.append(GeneBucket(width=w, F=F, lengths=lengths,
+                                      gene_indices=gene_indices))
+    return buckets
+
+
+def scatter_rows(out: np.ndarray, rows: np.ndarray, gene_indices: np.ndarray):
+    """Write bucket-level per-gene rows back into a global (n, ...) array,
+    skipping padding genes."""
+    real = gene_indices >= 0
+    out[gene_indices[real]] = rows[real]
+    return out

@@ -1,0 +1,196 @@
+"""DegNormEngine — the TPU-native equivalent of reference ``GeneNMFOA``.
+
+Public API mirrors ``GeneNMFOA.run(cov_dat, reads_dat)`` (nmf.py:483-601):
+an ordered {gene: (p x L_i) coverage matrix} mapping plus an (n x p) read
+count matrix in, DI scores / adjusted counts / coverage estimates out.
+
+Execution model (SURVEY.md §7.1-7.2):
+  * genes are packed into padded length buckets (data/buckets.py);
+  * per DegNorm iteration, each bucket runs ONE jitted device kernel
+    (core/baseline.py) that performs the whole NMF-OA + baseline-selection
+    trim loop for all its genes at once — scale adjustment included, so
+    bucket arrays stay device-resident across iterations;
+  * the tiny cross-gene reductions (medians, column sums) run on host in
+    float64 (core/degnorm.py);
+  * gene-data-parallel sharding over a device mesh shards the G axis of
+    every bucket (parallel/), replacing the reference's MPI layer.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Mapping, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from degnorm_tpu.config import EngineConfig, NMFConfig
+from degnorm_tpu.core import degnorm as outer
+from degnorm_tpu.core.baseline import (
+    BucketResult, baseline_select_bucket, materialize_estimate)
+from degnorm_tpu.core.nmf import ratio_svd_rowsums
+from degnorm_tpu.data.buckets import GeneBucket, pack_buckets, scatter_rows
+
+
+@functools.partial(jax.jit, static_argnames=("nmf_cfg", "eng_cfg"))
+def _bucket_step(F, len_mask, scale_factors, ds_start, nmf_cfg: NMFConfig,
+                 eng_cfg: EngineConfig) -> BucketResult:
+    """One DegNorm iteration's device work for one bucket: scale-adjust the
+    coverage (nmf.py:142-146,563) then run batched baseline selection."""
+    F_adj = F / scale_factors[None, :, None]
+    return baseline_select_bucket(F_adj, len_mask, nmf_cfg, eng_cfg,
+                                  ds_start=ds_start)
+
+
+@functools.partial(jax.jit, static_argnames=("eng_cfg",))
+def _bucket_init(F, len_mask, eng_cfg: EngineConfig):
+    """Initialization: ratio-SVD row sums on the raw coverage
+    (nmf.py:522-526)."""
+    return ratio_svd_rowsums(F, len_mask,
+                             power_iters=eng_cfg.power_iters_cold,
+                             method=eng_cfg.rank1_method)
+
+
+class DegNormResult:
+    """Fit outputs; attribute names follow the reference's GeneNMFOA state."""
+
+    def __init__(self, genes, rho, x_adj, scale_factors, norm_factors,
+                 ran_baseline_selection, x_weighted, engine):
+        self.genes = genes
+        self.rho = rho
+        self.x_adj = x_adj
+        self.scale_factors = scale_factors
+        self.norm_factors = norm_factors
+        self.ran_baseline_selection = ran_baseline_selection
+        self.x_weighted = x_weighted
+        self._engine = engine
+
+    def estimates(self) -> List[np.ndarray]:
+        """Materialize per-gene estimated coverage matrices (p x L_i), in
+        input gene order — the reference's ``run()`` return value."""
+        return self._engine._materialize_estimates()
+
+
+class DegNormEngine:
+    def __init__(self, nmf_cfg: Optional[NMFConfig] = None,
+                 eng_cfg: Optional[EngineConfig] = None):
+        self.nmf_cfg = nmf_cfg or NMFConfig()
+        self.eng_cfg = eng_cfg or EngineConfig()
+        self._buckets: List[GeneBucket] = []
+        self._device_F: List[jnp.ndarray] = []
+        self._device_mask: List[jnp.ndarray] = []
+        self._last_results: List[BucketResult] = []
+        self._final_scale: Optional[np.ndarray] = None
+
+    # -- setup -----------------------------------------------------------
+    def _pack(self, cov_mats: Sequence[np.ndarray], n_devices: int = 1):
+        dtype = jnp.dtype(self.eng_cfg.dtype)
+        self._buckets = pack_buckets(
+            cov_mats,
+            bucket_widths=self.eng_cfg.bucket_widths,
+            dtype=np.dtype(dtype.name),
+            pad_genes_to=n_devices,
+            max_genes_per_bucket=self.eng_cfg.max_genes_per_batch,
+        )
+        self._device_F = [jnp.asarray(b.F) for b in self._buckets]
+        self._device_mask = [jnp.asarray(b.len_mask()) for b in self._buckets]
+
+    def _ds_starts(self, bucket: GeneBucket, iteration: int) -> jnp.ndarray:
+        """Deterministic per-gene systematic-sampling offsets.
+
+        The reference draws thread-shared numpy randints (racy under
+        threading, SURVEY.md §2.2); we key a PRNG per (seed, iteration,
+        gene) instead — a documented behavioral fix."""
+        if self.nmf_cfg.downsample_rate <= 1:
+            return jnp.zeros(bucket.F.shape[0], jnp.int32)
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(self.nmf_cfg.random_state), iteration)
+        return jax.random.randint(
+            key, (bucket.F.shape[0],), 0, self.nmf_cfg.downsample_rate,
+            dtype=jnp.int32)
+
+    # -- main loop -------------------------------------------------------
+    def run(self, cov_dat: Mapping[str, np.ndarray],
+            reads_dat: np.ndarray) -> DegNormResult:
+        genes = list(cov_dat.keys())
+        cov_mats = [np.asarray(cov_dat[g]) for g in genes]
+        n = len(cov_mats)
+        if n == 0:
+            raise ValueError("no coverage matrices supplied")
+        p = cov_mats[0].shape[0]
+        x = np.asarray(reads_dat, dtype=np.float64)
+        if x.shape[0] != n:
+            raise ValueError(
+                "read count matrix rows != number of coverage matrices")
+        if any(F.ndim != 2 for F in cov_mats):
+            raise ValueError("all coverage matrices must be 2-d")
+        if self.nmf_cfg.downsample_rate > 1:
+            if min(F.shape[1] for F in cov_mats) < self.nmf_cfg.downsample_rate:
+                raise ValueError(
+                    "downsample_rate exceeds the shortest gene length")
+
+        self._pack(cov_mats)
+        dtype = jnp.dtype(self.eng_cfg.dtype)
+
+        # ---- initialization (nmf.py:512-535) ----
+        cov_sums = np.zeros((n, p))
+        est_sums = np.zeros((n, p))
+        for b, F_d, m_d in zip(self._buckets, self._device_F,
+                               self._device_mask):
+            cs, es = _bucket_init(F_d, m_d, self.eng_cfg)
+            scatter_rows(cov_sums, np.asarray(cs, np.float64), b.gene_indices)
+            scatter_rows(est_sums, np.asarray(es, np.float64), b.gene_indices)
+        rho_init = outer.rho_from_ratio_svd(cov_sums, est_sums)
+        state = outer.init_state(rho_init, x)
+
+        ran_bs = np.zeros((n, self.nmf_cfg.degnorm_iter), dtype=bool)
+
+        # ---- DegNorm iterations (nmf.py:556-596) ----
+        for it in range(self.nmf_cfg.degnorm_iter):
+            rho_raw = np.zeros((n, p))
+            results: List[BucketResult] = []
+            sf = jnp.asarray(state.scale_factors, dtype)
+            for b, F_d, m_d in zip(self._buckets, self._device_F,
+                                   self._device_mask):
+                res = _bucket_step(F_d, m_d, sf, self._ds_starts(b, it),
+                                   self.nmf_cfg, self.eng_cfg)
+                results.append(res)
+                scatter_rows(rho_raw, np.asarray(res.rho, np.float64),
+                             b.gene_indices)
+                scatter_rows(ran_bs[:, it], np.asarray(res.ran_bs),
+                             b.gene_indices)
+            state = outer.iteration_update(state, rho_raw)
+
+        self._last_results = results
+        self._final_scale = state.scale_factors / state.norm_factors
+        self._genes = genes
+        self._cov_mats = cov_mats
+
+        return DegNormResult(
+            genes=genes, rho=state.rho, x_adj=state.x_adj,
+            scale_factors=state.scale_factors,
+            norm_factors=state.norm_factors,
+            ran_baseline_selection=ran_bs, x_weighted=state.x_weighted,
+            engine=self)
+
+    # -- estimates -------------------------------------------------------
+    def _materialize_estimates(self) -> List[np.ndarray]:
+        """Reference ``run()`` returns the final iteration's estimated
+        coverage matrices (nmf.py:601), computed on coverage scaled by the
+        *pre-update* scale factors of that iteration."""
+        if not self._last_results:
+            raise ValueError("run() has not been called")
+        n = len(self._genes)
+        out: List[Optional[np.ndarray]] = [None] * n
+        for b, res in zip(self._buckets, self._last_results):
+            est_K = np.asarray(res.est_K, np.float64)
+            est_E = np.asarray(res.est_E, np.float64)
+            kinds = np.asarray(res.est_kind)
+            for slot, gi in enumerate(b.gene_indices):
+                if gi < 0:
+                    continue
+                F_adj = self._cov_mats[gi] / self._final_scale[:, None]
+                out[gi] = materialize_estimate(
+                    F_adj, int(b.lengths[slot]), est_K[slot], est_E[slot],
+                    int(kinds[slot]))
+        return out

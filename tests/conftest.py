@@ -8,14 +8,23 @@ import os
 import sys
 import types
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# Host-side float64 for the golden oracle comparisons.
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Enable float64 so parity tests can run the device kernels at oracle
+# precision on CPU (production TPU path is float32).
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+# This image's sitecustomize registers the remote "axon" TPU backend and
+# pins jax to it regardless of JAX_PLATFORMS; override it explicitly so
+# the test suite runs on the local 8-device virtual CPU mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

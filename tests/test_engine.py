@@ -1,0 +1,64 @@
+"""End-to-end DegNormEngine parity vs the golden oracle and the reference."""
+import numpy as np
+import pytest
+from collections import OrderedDict
+
+from degnorm_tpu.config import EngineConfig, NMFConfig
+from degnorm_tpu.engine import DegNormEngine
+from degnorm_tpu.oracle import nmfoa as oracle
+from tests.conftest import random_coverage
+
+
+def make_dataset(seed=21, n=12, p=3):
+    rng = np.random.default_rng(seed)
+    cov = OrderedDict()
+    for i in range(n):
+        L = int(120 + rng.integers(0, 500))
+        cov[f"gene{i}"] = random_coverage(
+            rng, p, L, scale=3 + 6 * rng.random(), degraded=(i % 2 == 0))
+    X = np.round(np.abs(rng.standard_normal((n, p))) * 300 + 30)
+    return cov, X
+
+
+@pytest.mark.parametrize("method", ["eigh", "power"])
+def test_engine_matches_oracle_f64(method):
+    cov, X = make_dataset()
+    cfg = NMFConfig(nmf_iter=8, degnorm_iter=3)
+    eng = EngineConfig(rank1_method=method, dtype="float64",
+                       power_iters_cold=200, power_iters_warm=60,
+                       bucket_widths=(256, 512, 1024))
+    res = DegNormEngine(cfg, eng).run(cov, X)
+    gold = oracle.degnorm_fit(list(cov.values()), X, cfg)
+
+    np.testing.assert_allclose(res.rho, gold.rho, rtol=3e-4, atol=3e-6)
+    np.testing.assert_allclose(res.x_adj, gold.x_adj, rtol=3e-4, atol=1e-6)
+    np.testing.assert_allclose(res.scale_factors, gold.scale_factors,
+                               rtol=3e-4)
+    np.testing.assert_array_equal(res.ran_baseline_selection,
+                                  gold.ran_baseline_selection)
+    ests = res.estimates()
+    for e_j, e_o in zip(ests, gold.estimates):
+        np.testing.assert_allclose(e_j, e_o, rtol=2e-3, atol=1e-3)
+
+
+def test_engine_f32_tolerance():
+    """The production float32 path stays within loose tolerance of the
+    float64 oracle — the gate for TPU numerics."""
+    cov, X = make_dataset(seed=5)
+    cfg = NMFConfig(nmf_iter=8, degnorm_iter=3)
+    eng = EngineConfig(rank1_method="power", dtype="float32",
+                       bucket_widths=(256, 512, 1024))
+    res = DegNormEngine(cfg, eng).run(cov, X)
+    gold = oracle.degnorm_fit(list(cov.values()), X, cfg)
+    np.testing.assert_allclose(res.rho, gold.rho, rtol=0, atol=5e-3)
+    np.testing.assert_allclose(
+        res.x_adj / gold.x_adj, 1.0, rtol=0, atol=5e-3)
+
+
+def test_engine_input_validation():
+    cov, X = make_dataset(n=4)
+    eng = DegNormEngine(NMFConfig(nmf_iter=2, degnorm_iter=1))
+    with pytest.raises(ValueError):
+        eng.run(cov, X[:2])
+    with pytest.raises(ValueError):
+        DegNormEngine(NMFConfig(downsample_rate=10**6)).run(cov, X)
