@@ -1,0 +1,107 @@
+"""DegNorm-TPU benchmark: NMF-OA gene-iteration throughput vs the CPU
+reference.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Workload (BASELINE.md config 3 ladder): full algorithm (baseline selection +
+over-approximation) on a synthetic multi-bucket dataset. ``vs_baseline``
+times the reference implementation (imported read-only from
+/root/reference, pure CPU) on a subsample of the same genes with identical
+parameters and reports ours/theirs in gene-iterations/sec.
+"""
+import json
+import os
+import sys
+import time
+from collections import OrderedDict
+
+import numpy as np
+
+N_GENES = int(os.environ.get("BENCH_GENES", 2048))
+P_SAMPLES = int(os.environ.get("BENCH_SAMPLES", 8))
+NMF_ITER = int(os.environ.get("BENCH_NMF_ITER", 50))
+DEGNORM_ITER = int(os.environ.get("BENCH_DEGNORM_ITER", 5))
+REF_GENES = int(os.environ.get("BENCH_REF_GENES", 24))
+
+
+def synth_dataset(n, p, seed=7):
+    rng = np.random.default_rng(seed)
+    cov = OrderedDict()
+    # power-law-ish gene lengths, 200..6000 bp
+    lengths = np.clip((rng.pareto(1.7, n) + 1) * 220, 200, 6000).astype(int)
+    for i in range(n):
+        L = int(lengths[i])
+        t = np.linspace(0, 1, L)
+        base = np.abs(np.sin(np.pi * t) + 0.2) * (2 + 10 * rng.random())
+        rows = []
+        for j in range(p):
+            amp = 0.5 + rng.random() * 1.5
+            row = amp * base
+            if j % 2 == 1:
+                row = row * np.exp(-2.0 * (1 - t) * rng.random())
+            rows.append(row)
+        cov[f"g{i}"] = np.round(np.maximum(np.vstack(rows), 0.0), 3)
+    X = np.round(np.abs(rng.standard_normal((n, p))) * 300 + 30)
+    return cov, X
+
+
+def time_reference(cov, X, m):
+    """Time the reference GeneNMFOA on the first m genes (CPU, 1 thread)."""
+    import types
+    if "pkg_resources" not in sys.modules:
+        stub = types.ModuleType("pkg_resources")
+        stub.resource_filename = lambda *a, **k: "/dev/null"
+        sys.modules["pkg_resources"] = stub
+    sys.path.append("/root/reference")
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        from degnorm.nmf import GeneNMFOA
+    genes = list(cov.keys())[:m]
+    sub = OrderedDict((g, cov[g].copy()) for g in genes)
+    Xs = X[:m].copy()
+    o = GeneNMFOA(degnorm_iter=DEGNORM_ITER, nmf_iter=NMF_ITER, n_jobs=1)
+    t0 = time.perf_counter()
+    o.run(sub, Xs)
+    dt = time.perf_counter() - t0
+    return m * DEGNORM_ITER / dt
+
+
+def main():
+    from degnorm_tpu.config import EngineConfig, NMFConfig
+    from degnorm_tpu.engine import DegNormEngine
+
+    cov, X = synth_dataset(N_GENES, P_SAMPLES)
+    nmf_cfg = NMFConfig(nmf_iter=NMF_ITER, degnorm_iter=DEGNORM_ITER)
+    eng_cfg = EngineConfig(bucket_widths=(512, 1024, 2048, 4096, 8192))
+
+    # warm-up: compile every bucket shape with a 1-iteration config
+    warm = DegNormEngine(NMFConfig(nmf_iter=NMF_ITER, degnorm_iter=1), eng_cfg)
+    warm.run(cov, X)
+
+    engine = DegNormEngine(nmf_cfg, eng_cfg)
+    t0 = time.perf_counter()
+    engine.run(cov, X)
+    dt = time.perf_counter() - t0
+    ours = N_GENES * DEGNORM_ITER / dt
+
+    try:
+        ref = time_reference(cov, X, REF_GENES)
+    except Exception as e:
+        print(f"[bench] reference timing failed: {e}", file=sys.stderr)
+        ref = None
+
+    out = {
+        "metric": "nmfoa_gene_iterations_per_sec",
+        "value": round(ours, 2),
+        "unit": f"gene-iter/s ({N_GENES} genes x {P_SAMPLES} samples, "
+                f"nmf_iter={NMF_ITER}, {DEGNORM_ITER} DegNorm iters, "
+                f"wall {dt:.1f}s)",
+        "vs_baseline": round(ours / ref, 2) if ref else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Gene-data-parallel execution over a JAX device mesh.
+
+Replaces the reference's MPI layer (``nmf_mpi.py`` + ``__main_mpi__.py``)
+with the idiomatic TPU design from SURVEY.md §2.4/§5.8:
+
+* Genes are the data-parallel axis.  Each bucket's (G, p, W) arrays are
+  sharded along G with a ``NamedSharding`` over a 1-D ``Mesh``; the
+  baseline-selection kernel is embarrassingly parallel over genes, so the
+  per-iteration device work needs NO collectives at all.
+* The cross-gene reductions of the outer loop (column sums of the adjusted
+  counts, the "sample-average DI" correction) are expressed as plain
+  ``jnp.sum(..., axis=0)`` over gene-sharded arrays inside ``jit`` — XLA
+  lowers them to ``psum`` over ICI automatically.  Only (p,)-sized vectors
+  ever cross devices.
+* This removes the reference's biggest distributed inefficiency: rank 0
+  re-shipping every coverage matrix to every worker on every iteration
+  (nmf_mpi.py:740-770).  Here each device keeps its gene shard resident for
+  the whole run and receives just the scale-factor vector.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from degnorm_tpu.config import EngineConfig, NMFConfig
+from degnorm_tpu.core.baseline import baseline_select_bucket
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              axis: str = "genes") -> Mesh:
+    """1-D gene-data-parallel mesh over all (or the given) devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def gene_sharding(mesh: Mesh, ndim: int, axis: str = "genes") -> NamedSharding:
+    """Shard dim 0 (genes) and replicate the rest."""
+    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+def shard_bucket(F: np.ndarray, len_mask: np.ndarray, mesh: Mesh,
+                 axis: str = "genes") -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Place a padded bucket on the mesh, genes split across devices."""
+    return (
+        jax.device_put(F, gene_sharding(mesh, 3, axis)),
+        jax.device_put(len_mask, gene_sharding(mesh, 2, axis)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("nmf_cfg", "eng_cfg"))
+def sharded_iteration_step(
+    F: jnp.ndarray,           # (G, p, W)  gene-sharded
+    len_mask: jnp.ndarray,    # (G, W)     gene-sharded
+    x_weighted: jnp.ndarray,  # (G, p)     gene-sharded (row-aligned with F)
+    scale_factors: jnp.ndarray,  # (p,)    replicated
+    ds_start: jnp.ndarray,    # (G,)       gene-sharded
+    nmf_cfg: NMFConfig,
+    eng_cfg: EngineConfig,
+):
+    """One complete DegNorm iteration for a single gene-sharded bucket —
+    device bucket work AND the global factor update fused under one jit.
+
+    This is the multi-chip train-step analog: per-gene NMF/trimming is
+    local to each device's shard; the only cross-device traffic is the
+    psum hidden inside the axis-0 column sums (three (p,)-vectors).
+
+    Replicates reference nmf.py:560-596 / core.degnorm.iteration_update.
+    Returns (rho, x_adj, x_weighted', norm_factors, scale_factors', ran_bs).
+    """
+    F_adj = F / scale_factors[None, :, None]
+    res = baseline_select_bucket(F_adj, len_mask, nmf_cfg, eng_cfg,
+                                 ds_start=ds_start)
+
+    rho = jnp.clip(res.rho, 0.0, 0.9)                  # nmf.py:398-399
+    x_adj = x_weighted / (1 - rho)
+
+    # correct_di_scores (nmf.py:148-158): cross-gene column sums -> psum.
+    non_bs = jnp.max(rho, axis=1) == 0
+    sample_avg = 1 - jnp.sum(x_weighted, axis=0) / jnp.sum(x_adj, axis=0)
+    rho = jnp.where(non_bs[:, None], sample_avg[None, :], rho)
+
+    x_adj = x_weighted / (1 - rho)
+    col = jnp.sum(x_adj, axis=0)                       # psum over gene shards
+    norm_factors = col / jnp.median(col)
+    x_weighted_new = x_weighted / norm_factors
+    scale_new = scale_factors * norm_factors
+
+    return rho, x_adj, x_weighted_new, norm_factors, scale_new, res.ran_bs
