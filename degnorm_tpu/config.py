@@ -51,6 +51,12 @@ class NMFConfig:
         # max(2, ceil(200 / downsample_rate))  (nmf.py:261)
         return max(2, int(math.ceil(200.0 / self.downsample_rate)))
 
+    def kernel_key(self) -> "NMFConfig":
+        """Normalized copy for use as a jit static argument: fields that do
+        not affect the device kernel (outer-iteration count, RNG seed) are
+        zeroed so warm-up runs and production runs share compile caches."""
+        return dataclasses.replace(self, degnorm_iter=0, random_state=0)
+
     @property
     def max_trim_rounds(self) -> int:
         """Upper bound on baseline-selection trim-loop rounds.

@@ -153,7 +153,7 @@ class DegNormEngine:
             for b, F_d, m_d in zip(self._buckets, self._device_F,
                                    self._device_mask):
                 res = _bucket_step(F_d, m_d, sf, self._ds_starts(b, it),
-                                   self.nmf_cfg, self.eng_cfg)
+                                   self.nmf_cfg.kernel_key(), self.eng_cfg)
                 results.append(res)
                 scatter_rows(rho_raw, np.asarray(res.rho, np.float64),
                              b.gene_indices)

@@ -1,0 +1,245 @@
+"""BAM alignment-file reading and writing, dependency-free.
+
+The reference leans on pysam/htslib C code for BGZF inflation, record
+decode, and .bai region fetch (reference ``loaders.py:64-70``,
+``reads.py:223-245``; SURVEY.md §2.3).  This module decodes the BAM binary
+format directly (SAM spec §4.2) into *columnar numpy arrays* — the shape the
+vectorized coverage builder (io/coverage.py) wants — instead of per-read
+Python objects.  A C++ fast path can drop in underneath later; the format
+logic and tests live here.
+
+The writer exists chiefly to synthesize test fixtures: the reference's
+bundled .bam blobs are stripped from this snapshot (SURVEY.md §4), so parity
+tests build their own files.
+"""
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from degnorm_tpu.io import bgzf
+
+BAM_MAGIC = b"BAM\x01"
+CIGAR_OPS = "MIDNSHP=X"
+_OP_INDEX = {c: i for i, c in enumerate(CIGAR_OPS)}
+# ops that consume reference bases: M, D, N, =, X
+REF_CONSUMING = np.array([1, 0, 1, 1, 0, 0, 0, 1, 1], dtype=np.int64)
+# ops that are alignment matches: M, =, X
+MATCH_OP = np.array([1, 0, 0, 0, 0, 0, 0, 1, 1], dtype=np.int64)
+
+FLAG_UNMAPPED = 0x4
+FLAG_PAIRED = 0x1
+
+
+@dataclasses.dataclass
+class BamHeader:
+    text: str
+    ref_names: List[str]
+    ref_lengths: List[int]
+
+    def as_frame(self):
+        import pandas as pd
+        return pd.DataFrame({"chr": self.ref_names,
+                             "length": self.ref_lengths})
+
+
+@dataclasses.dataclass
+class ReadColumns:
+    """Columnar alignment records for one chromosome (or a whole file).
+
+    cigar runs are flattened: read i owns cigar_ops/cigar_lens rows
+    [cigar_offsets[i], cigar_offsets[i+1]).
+    """
+    qnames: np.ndarray        # object array of str
+    tid: np.ndarray           # int32
+    pos: np.ndarray           # int32, 0-based leftmost aligned base
+    flag: np.ndarray          # uint16
+    rnext: np.ndarray         # int32 (-1 = unset, matches pysam .rnext)
+    nh: np.ndarray            # int32 NH aux tag (0 when absent)
+    cigar_ops: np.ndarray     # int8 flattened op codes
+    cigar_lens: np.ndarray    # int32 flattened run lengths
+    cigar_offsets: np.ndarray  # int64, len = n_reads + 1
+
+    def __len__(self):
+        return len(self.pos)
+
+    def cigar_string(self, i: int) -> str:
+        s, e = self.cigar_offsets[i], self.cigar_offsets[i + 1]
+        return "".join(f"{int(l)}{CIGAR_OPS[o]}"
+                       for o, l in zip(self.cigar_ops[s:e],
+                                       self.cigar_lens[s:e]))
+
+
+def _parse_aux_nh(buf: bytes, off: int, end: int) -> int:
+    """Scan aux fields for the NH:i tag; returns 0 if absent."""
+    _SIZES = {ord("A"): 1, ord("c"): 1, ord("C"): 1, ord("s"): 2,
+              ord("S"): 2, ord("i"): 4, ord("I"): 4, ord("f"): 4}
+    _FMT = {ord("c"): "<b", ord("C"): "<B", ord("s"): "<h", ord("S"): "<H",
+            ord("i"): "<i", ord("I"): "<I"}
+    while off + 3 <= end:
+        tag = buf[off:off + 2]
+        vtype = buf[off + 2]
+        off += 3
+        if vtype in _SIZES:
+            if tag == b"NH":
+                fmt = _FMT.get(vtype)
+                if fmt:
+                    return struct.unpack_from(fmt, buf, off)[0]
+            off += _SIZES[vtype]
+        elif vtype in (ord("Z"), ord("H")):
+            nul = buf.index(b"\x00", off)
+            off = nul + 1
+        elif vtype == ord("B"):
+            sub = buf[off]
+            cnt = struct.unpack_from("<I", buf, off + 1)[0]
+            off += 5 + cnt * _SIZES[sub]
+        else:
+            break
+    return 0
+
+
+def read_header(path: str) -> BamHeader:
+    # header lives in the first block(s); decompress lazily until parsed
+    with open(path, "rb") as f:
+        raw = f.read()
+    buf = bgzf.decompress(raw)
+    return _parse_header(buf)[0]
+
+
+def _parse_header(buf: bytes) -> Tuple[BamHeader, int]:
+    if buf[:4] != BAM_MAGIC:
+        raise ValueError("not a BAM file (bad magic)")
+    l_text = struct.unpack_from("<i", buf, 4)[0]
+    text = buf[8:8 + l_text].rstrip(b"\x00").decode("utf-8", "replace")
+    off = 8 + l_text
+    n_ref = struct.unpack_from("<i", buf, off)[0]
+    off += 4
+    names, lengths = [], []
+    for _ in range(n_ref):
+        l_name = struct.unpack_from("<i", buf, off)[0]
+        names.append(buf[off + 4: off + 4 + l_name - 1].decode())
+        lengths.append(struct.unpack_from("<i", buf, off + 4 + l_name)[0])
+        off += 8 + l_name
+    return BamHeader(text=text, ref_names=names, ref_lengths=lengths), off
+
+
+def read_bam(path: str, *, tid: Optional[int] = None,
+             drop_unmapped: bool = True) -> Tuple[BamHeader, ReadColumns]:
+    """Decode a whole BAM file into columnar arrays.
+
+    ``tid``: keep only records on that reference id (like pysam
+    fetch(chrom), reads.py:225, but streaming — no .bai required).
+    """
+    with open(path, "rb") as f:
+        raw = f.read()
+    buf = bgzf.decompress(raw)
+    header, off = _parse_header(buf)
+
+    qnames: List[str] = []
+    tids: List[int] = []
+    poss: List[int] = []
+    flags: List[int] = []
+    rnexts: List[int] = []
+    nhs: List[int] = []
+    ops: List[int] = []
+    lens: List[int] = []
+    offsets: List[int] = [0]
+
+    n = len(buf)
+    while off + 4 <= n:
+        block_size = struct.unpack_from("<i", buf, off)[0]
+        start = off + 4
+        (refID, pos, lrn, mapq, bin_, n_cigar, flag, l_seq, next_refID,
+         next_pos, tlen) = struct.unpack_from("<iiBBHHHiiii", buf, start)
+        off = start + block_size
+        if tid is not None and refID != tid:
+            continue
+        if drop_unmapped and (flag & FLAG_UNMAPPED):
+            continue
+        p = start + 32
+        qname = buf[p: p + lrn - 1].decode()
+        p += lrn
+        cig = np.frombuffer(buf, dtype="<u4", count=n_cigar, offset=p)
+        p += 4 * n_cigar
+        seq_bytes = (l_seq + 1) // 2
+        aux_start = p + seq_bytes + l_seq
+        nh = _parse_aux_nh(buf, aux_start, off)
+
+        qnames.append(qname)
+        tids.append(refID)
+        poss.append(pos)
+        flags.append(flag)
+        rnexts.append(next_refID)
+        nhs.append(nh)
+        ops.extend((cig & 0xF).tolist())
+        lens.extend((cig >> 4).tolist())
+        offsets.append(len(ops))
+
+    cols = ReadColumns(
+        qnames=np.array(qnames, dtype=object),
+        tid=np.array(tids, dtype=np.int32),
+        pos=np.array(poss, dtype=np.int32),
+        flag=np.array(flags, dtype=np.uint16),
+        rnext=np.array(rnexts, dtype=np.int32),
+        nh=np.array(nhs, dtype=np.int32),
+        cigar_ops=np.array(ops, dtype=np.int8),
+        cigar_lens=np.array(lens, dtype=np.int32),
+        cigar_offsets=np.array(offsets, dtype=np.int64),
+    )
+    return header, cols
+
+
+# ---------------------------------------------------------------------------
+# writer (test fixtures / simulation)
+# ---------------------------------------------------------------------------
+
+def _encode_cigar(cigar: str) -> bytes:
+    out = b""
+    num = ""
+    for ch in cigar:
+        if ch.isdigit():
+            num += ch
+        else:
+            out += struct.pack("<I", (int(num) << 4) | _OP_INDEX[ch])
+            num = ""
+    return out
+
+
+def write_bam(path: str, ref_names: Sequence[str],
+              ref_lengths: Sequence[int],
+              records: Iterable[Tuple],
+              *, nh_tags: bool = False) -> None:
+    """Write a BAM file.
+
+    records: iterable of (qname, tid, pos0, flag, cigar_str, rnext[, nh]).
+    Sequences/quals are omitted (l_seq = 0) — legal BAM, sufficient for
+    coverage pipelines.
+    """
+    text = "".join(f"@SQ\tSN:{n}\tLN:{l}\n"
+                   for n, l in zip(ref_names, ref_lengths))
+    hdr = BAM_MAGIC + struct.pack("<i", len(text)) + text.encode()
+    hdr += struct.pack("<i", len(ref_names))
+    for nm, ln in zip(ref_names, ref_lengths):
+        b = nm.encode() + b"\x00"
+        hdr += struct.pack("<i", len(b)) + b + struct.pack("<i", ln)
+
+    body = [hdr]
+    for rec in records:
+        qname, tid_, pos0, flag, cigar, rnext = rec[:6]
+        nh = rec[6] if len(rec) > 6 else None
+        qb = qname.encode() + b"\x00"
+        cig = _encode_cigar(cigar) if cigar else b""
+        aux = b""
+        if nh is not None:
+            aux = b"NH" + b"i" + struct.pack("<i", nh)
+        data = struct.pack(
+            "<iiBBHHHiiii", tid_, pos0, len(qb), 60,
+            0, len(cig) // 4, flag, 0, rnext, -1, 0)
+        data += qb + cig + aux
+        body.append(struct.pack("<i", len(data)) + data)
+
+    with open(path, "wb") as f:
+        f.write(bgzf.compress(b"".join(body)))

@@ -1,0 +1,234 @@
+"""ETL parity: my vectorized coverage builder vs the reference's actual
+`chromosome_coverage_read_counts`, run in-process with its BAM loader
+monkeypatched (pysam is unavailable; the reference code itself is imported
+read-only and fed the same synthetic reads).
+"""
+import os
+import pickle
+import sys
+import types
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from degnorm_tpu.io import bam as bamio
+from degnorm_tpu.io.coverage import chromosome_coverage_read_counts
+from degnorm_tpu.io.overlap import overlap_structure
+
+CHROM = "chr1"
+CHROM_LEN = 50_000
+
+
+class _StubInterval:
+    def __init__(self, chrom, start, end, strand="."):
+        self.chrom, self.start, self.end = chrom, start, end
+
+
+class _StubGAS:
+    """Minimal per-base GenomicArrayOfSets: just enough for the reference's
+    get_gene_overlap_structure (gene_processing.py:167-194)."""
+
+    def __init__(self, chroms, stranded=False):
+        self.base = {}
+
+    class _View:
+        def __init__(self, gas, iv):
+            self.gas, self.iv = gas, iv
+
+        def __iadd__(self, value):
+            for p in range(self.iv.start, self.iv.end):
+                self.gas.base.setdefault(p, set()).add(value)
+            return self
+
+        def steps(self):
+            run_set, run_start = None, None
+            for p in range(self.iv.start, self.iv.end + 1):
+                s = frozenset(self.gas.base.get(p, set()))
+                if p == self.iv.end or s != run_set:
+                    if run_set is not None:
+                        yield ((run_start, p), set(run_set))
+                    run_set, run_start = s, p
+
+    def __getitem__(self, iv):
+        return self._View(self, iv)
+
+    def __setitem__(self, iv, view):
+        pass   # supports the `gas[iv] += x` statement form
+
+
+def _stub_modules():
+    if "pkg_resources" not in sys.modules:
+        stub = types.ModuleType("pkg_resources")
+        stub.resource_filename = lambda *a, **k: "/dev/null"
+        sys.modules["pkg_resources"] = stub
+    if "pysam" not in sys.modules:
+        ps = types.ModuleType("pysam")
+        ps.AlignmentFile = object
+        sys.modules["pysam"] = ps
+    if "HTSeq" not in sys.modules:
+        ht = types.ModuleType("HTSeq")
+        ht.GenomicArrayOfSets = _StubGAS
+        ht.GenomicInterval = _StubInterval
+        sys.modules["HTSeq"] = ht
+    import networkx as nx
+    if not hasattr(nx, "from_numpy_matrix"):
+        nx.from_numpy_matrix = nx.from_numpy_array  # networkx>=3 rename
+    if "/root/reference" not in sys.path:
+        sys.path.append("/root/reference")
+
+
+@pytest.fixture(scope="module")
+def annotation():
+    """Synthetic annotation: two overlapping genes + two isolated genes."""
+    exon_rows = [
+        # gene A: two exons
+        (CHROM, 1001, 1400, "geneA"),
+        (CHROM, 1801, 2200, "geneA"),
+        # gene B overlaps A's second exon region
+        (CHROM, 2001, 2600, "geneB"),
+        (CHROM, 3001, 3300, "geneB"),
+        # isolated gene C
+        (CHROM, 10001, 10800, "geneC"),
+        (CHROM, 11201, 11600, "geneC"),
+        # isolated gene D (single exon)
+        (CHROM, 20001, 21000, "geneD"),
+    ]
+    exon_df = pd.DataFrame(exon_rows, columns=["chr", "start", "end", "gene"])
+    gene_df = exon_df.groupby(["chr", "gene"], as_index=False).agg(
+        gene_start=("start", "min"), gene_end=("end", "max"))
+    exon_df = exon_df.merge(gene_df, on=["chr", "gene"])
+    return gene_df, exon_df
+
+
+def synth_reads(rng, gene_df, exon_df, n=400, paired=False):
+    """Random reads: mostly exonic, some intron-crossing, some off-gene,
+    some multimapped (NH=2). Returns reference-style row tuples."""
+    rows = []
+    exons = exon_df[["start", "end"]].values
+    for i in range(n):
+        r = rng.random()
+        if r < 0.75:
+            # fully inside one exon (maybe spliced across two)
+            ei = rng.integers(0, len(exons))
+            s0, e0 = exons[ei][0] - 1, exons[ei][1] - 1
+            if e0 - s0 < 60:
+                continue
+            pos = int(rng.integers(s0, e0 - 50))
+            cigar = "50M"
+        elif r < 0.85:
+            # spliced read across geneC's intron
+            pos = int(rng.integers(10700, 10750))
+            gap = 11200 - (pos + 25)
+            cigar = f"25M{gap}N25M"
+        else:
+            # intronic/intergenic read — should be dropped
+            pos = int(rng.integers(4000, 9000))
+            cigar = "50M"
+        nh = 2 if rng.random() < 0.05 else 1
+        if paired:
+            mpos = pos + int(rng.integers(20, 120))
+            rows.append((f"SRR.{i}.1", pos, cigar, nh, 0))
+            rows.append((f"SRR.{i}.2", mpos, "50M", nh, 0))
+        else:
+            rows.append((f"SRR.{i}", pos, cigar, nh, -1))
+    return rows
+
+
+def run_reference(tmp_path, rows, gene_df, exon_df, paired):
+    """Drive the reference implementation on the same synthetic reads."""
+    _stub_modules()
+    from degnorm.reads import BamReadsProcessor
+    from degnorm.gene_processing import get_gene_overlap_structure
+
+    proc = BamReadsProcessor.__new__(BamReadsProcessor)
+    proc.verbose = False
+    proc.sample_id = "s1"
+    proc.save_dir = str(tmp_path / "ref_out")
+    os.makedirs(proc.save_dir, exist_ok=True)
+    proc.paired = paired
+    proc.header = pd.DataFrame({"chr": [CHROM], "length": [CHROM_LEN]})
+
+    # reference filter semantics from load_chromosome_reads (reads.py:225-259)
+    recs = [(q, p, c) for (q, p, c, nh, rnext) in rows
+            if nh <= 1 and (not paired or rnext != -1)]
+    df = pd.DataFrame(recs, columns=["qname", "pos", "cigar"])
+    df["pos"] = df["pos"].astype(int)
+    if paired:
+        df["qname_unpaired"] = df.qname.apply(
+            lambda x: ".".join(x.split(".")[:-1]))
+        df = df.sort_values("qname_unpaired")
+    proc.load_chromosome_reads = lambda chrom: df.copy()
+
+    overlap_dat = get_gene_overlap_structure(gene_df)
+    proc.chromosome_coverage_read_counts(
+        gene_overlap_dat=overlap_dat,
+        chrom_gene_df=gene_df.copy(),
+        chrom_exon_df=exon_df.copy(),
+        chrom=CHROM)
+
+    out = {}
+    from scipy import sparse
+    cov_f = os.path.join(proc.save_dir, f"chrom_coverage_s1_{CHROM}.npz")
+    out["iso"] = (np.asarray(sparse.load_npz(cov_f).todense()).ravel()
+                  if os.path.isfile(cov_f) else None)
+    ol_f = os.path.join(proc.save_dir, f"overlap_coverage_s1_{CHROM}.pkl")
+    out["overlap"] = pickle.load(open(ol_f, "rb")) if os.path.isfile(ol_f) \
+        else {}
+    cnt = pd.read_csv(os.path.join(proc.save_dir,
+                                   f"read_counts_s1_{CHROM}.csv"))
+    out["counts"] = dict(zip(cnt.gene, cnt.s1))
+    return out
+
+
+def run_mine(tmp_path, rows, gene_df, exon_df, paired):
+    bam_path = str(tmp_path / "s1.bam")
+    flag = 0x1 if paired else 0x0
+    recs = [(q, 0, p, flag, c, rnext, nh)
+            for (q, p, c, nh, rnext) in rows]
+    bamio.write_bam(bam_path, [CHROM], [CHROM_LEN], recs)
+    hdr, cols = bamio.read_bam(bam_path, tid=0)
+    overlap_dat = overlap_structure(gene_df)
+    return chromosome_coverage_read_counts(
+        cols, CHROM, CHROM_LEN, gene_df, exon_df, overlap_dat,
+        paired=paired, unique_alignment=True, compat="reference")
+
+
+@pytest.mark.parametrize("paired", [False, True])
+def test_coverage_matches_reference(tmp_path, annotation, paired):
+    gene_df, exon_df = annotation
+    rng = np.random.default_rng(17 + int(paired))
+    rows = synth_reads(rng, gene_df, exon_df, n=400, paired=paired)
+
+    ref = run_reference(tmp_path, rows, gene_df, exon_df, paired)
+    mine = run_mine(tmp_path, rows, gene_df, exon_df, paired)
+
+    assert mine.read_counts == ref["counts"]
+    for g, v in ref["overlap"].items():
+        np.testing.assert_array_equal(
+            mine.overlap_coverage[g], v, err_msg=f"overlap gene {g}")
+    if ref["iso"] is not None:
+        np.testing.assert_array_equal(mine.isolated_coverage, ref["iso"])
+
+
+def test_overlap_structure_matches_reference(annotation):
+    gene_df, _ = annotation
+    _stub_modules()
+    from degnorm.gene_processing import get_gene_overlap_structure
+    ref = get_gene_overlap_structure(gene_df)
+    mine = overlap_structure(gene_df)
+    assert sorted(mine["isolated_genes"]) == sorted(ref["isolated_genes"])
+    assert (sorted(map(sorted, mine["overlap_genes"]))
+            == sorted(map(sorted, ref["overlap_genes"])))
+
+
+def test_overlap_structure_chain():
+    """Reference test case: A-B-C chained overlap + isolated D
+    (tests/test_gene_processing.py:45-47)."""
+    df = pd.DataFrame({
+        "gene": ["A", "B", "C", "D"],
+        "gene_start": [100, 150, 215, 600],
+        "gene_end": [200, 230, 280, 822]})
+    out = overlap_structure(df)
+    assert out["isolated_genes"] == ["D"]
+    assert sorted(map(sorted, out["overlap_genes"])) == [["A", "B", "C"]]
