@@ -1,0 +1,121 @@
+"""``degnorm-tpu`` command line interface.
+
+Flag set mirrors the reference's argparser (``utils.py:195-315``) so
+existing DegNorm invocations port directly; the MPI launcher is replaced by
+the same binary running under ``jax.distributed`` (see parallel/), so there
+is no separate ``degnorm_mpi`` entry point.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+from typing import List, Optional
+
+from degnorm_tpu import __version__
+from degnorm_tpu.config import EngineConfig, NMFConfig, PipelineConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="degnorm-tpu",
+        description="TPU-native RNA-seq degradation normalization (DegNorm)")
+    p.add_argument("--bam-files", nargs="+", default=None,
+                   help="aligned read files (.bam)")
+    p.add_argument("--bai-files", nargs="+", default=None,
+                   help=".bam index files (optional — the streaming reader "
+                        "does not require them; accepted for compatibility)")
+    p.add_argument("--bam-dir", default=None,
+                   help="directory to scan for .bam files")
+    p.add_argument("-w", "--warm-start-dir", default=None,
+                   help="previous run's output directory to resume from")
+    p.add_argument("-g", "--genome-annotation", default=None,
+                   help="genome annotation file (.gtf)")
+    p.add_argument("-o", "--output-dir", default=".",
+                   help="where to create the run output directory")
+    p.add_argument("--plot-genes", nargs="+", default=None,
+                   help="genes to plot coverage for (names or .txt files)")
+    p.add_argument("-d", "--downsample-rate", type=int, default=1)
+    p.add_argument("--nmf-iter", type=int, default=100)
+    p.add_argument("--iter", type=int, default=5, dest="degnorm_iter")
+    p.add_argument("--minimax-coverage", type=int, default=0)
+    p.add_argument("-s", "--skip-baseline-selection", action="store_true")
+    p.add_argument("-u", "--unique-alignments", action="store_true",
+                   default=True, help=argparse.SUPPRESS)
+    p.add_argument("--non-unique-alignments", action="store_true",
+                   help="keep reads with NH > 1")
+    p.add_argument("-p", "--proc-per-node", type=int, default=1,
+                   help="host threads for ETL")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64"])
+    p.add_argument("--rank1-method", default="power",
+                   choices=["power", "eigh"])
+    p.add_argument("-v", "--version", action="version",
+                   version=f"degnorm-tpu {__version__}")
+    return p
+
+
+def expand_plot_genes(vals: Optional[List[str]]) -> List[str]:
+    """Gene names and/or .txt files of gene names (utils.py:346-361)."""
+    if not vals:
+        return []
+    genes: List[str] = []
+    for v in vals:
+        if v.endswith(".txt") and os.path.isfile(v):
+            with open(v) as f:
+                genes.extend(x.strip() for x in f.read().split() if x.strip())
+        else:
+            genes.append(v)
+    return list(dict.fromkeys(genes))
+
+
+def parse_config(argv: Optional[List[str]] = None) -> PipelineConfig:
+    args = build_parser().parse_args(argv)
+
+    bam_files = list(args.bam_files or [])
+    if args.bam_dir:
+        bam_files.extend(sorted(glob.glob(
+            os.path.join(args.bam_dir, "*.bam"))))
+    if not args.warm_start_dir:
+        if not bam_files:
+            raise SystemExit("no .bam files supplied "
+                             "(--bam-files / --bam-dir / --warm-start-dir)")
+        if len(bam_files) < 2:
+            raise SystemExit("DegNorm requires >= 2 RNA-seq samples")
+        if not args.genome_annotation:
+            raise SystemExit("a genome annotation .gtf is required (-g)")
+        missing = [b for b in bam_files if not os.path.isfile(b)]
+        if missing:
+            raise SystemExit(f"missing .bam files: {missing}")
+
+    nmf = NMFConfig(
+        degnorm_iter=args.degnorm_iter, nmf_iter=args.nmf_iter,
+        downsample_rate=args.downsample_rate,
+        skip_baseline_selection=args.skip_baseline_selection)
+    eng = EngineConfig(dtype=args.dtype, rank1_method=args.rank1_method)
+    return PipelineConfig(
+        bam_files=tuple(bam_files),
+        bai_files=tuple(args.bai_files or []),
+        genome_annotation=args.genome_annotation,
+        output_dir=args.output_dir,
+        plot_genes=tuple(expand_plot_genes(args.plot_genes)),
+        warm_start_dir=args.warm_start_dir,
+        minimax_coverage=args.minimax_coverage,
+        unique_alignments=not args.non_unique_alignments,
+        n_jobs=args.proc_per_node,
+        nmf=nmf, engine=eng)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    from degnorm_tpu.pipeline.run import (configure_logger, create_output_dir,
+                                          run_pipeline)
+    cfg = parse_config(argv)
+    output_dir = create_output_dir(cfg.output_dir)
+    configure_logger(output_dir)
+    run_pipeline(cfg, output_dir=output_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,113 @@
+"""Cross-sample merge: per-(sample, chromosome) ETL artifacts -> the
+(n x p) read-count matrix and the {gene: (p x L_i)} coverage dictionary.
+
+Replaces reference ``reads_coverage_merge.py`` (SURVEY.md §2.1 #7).  The
+reference round-trips everything through per-sample files and re-loads
+them in ~500 MB dense slices; here the per-sample results stream in memory
+(with optional reference-layout artifact writing for resume/compat —
+io/writers.py).
+
+Contract preserved:
+  * isolated genes' matrices are sliced from whole-chromosome coverage at
+    exon-union positions (reads_coverage_merge.py:333-353);
+  * overlap genes' per-gene vectors stack directly
+    (reads_coverage_merge.py:93-164);
+  * a sample with no data for a chromosome contributes a zero row
+    (reads_coverage_merge.py:305-312);
+  * isolated genes on chromosomes with no coverage in ANY sample are
+    dropped from the coverage set (reads_coverage_merge.py:227-239).
+"""
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Dict, List, Mapping, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from degnorm_tpu.io.coverage import ChromCoverage
+from degnorm_tpu.io.gtf import exon_union_positions
+
+
+def merge_read_counts(
+    results: Mapping[str, Mapping[str, ChromCoverage]],
+    sample_ids: Sequence[str],
+    chroms: Sequence[str],
+) -> pd.DataFrame:
+    """Merge per-sample counts into a [chr, gene, <sample_ids>] DataFrame
+    (reference merge_read_counts, reads_coverage_merge.py:13-90)."""
+    frames = []
+    for chrom in chroms:
+        cols: Dict[str, List] = {}
+        genes = None
+        for sid in sample_ids:
+            cc = results[sid][chrom]
+            if genes is None:
+                genes = list(cc.read_counts.keys())
+            cols[sid] = [cc.read_counts[g] for g in genes]
+        df = pd.DataFrame({"chr": chrom, "gene": genes, **cols})
+        frames.append(df[["chr", "gene"] + list(sample_ids)])
+    return pd.concat(frames, ignore_index=True)
+
+
+def merge_coverage(
+    results: Mapping[str, Mapping[str, ChromCoverage]],
+    sample_ids: Sequence[str],
+    exon_df: pd.DataFrame,
+) -> "OrderedDict[str, np.ndarray]":
+    """Merge per-sample coverage into {gene: (p x L_i)} float arrays.
+
+    Genes are emitted per chromosome (exon_df chromosome order), isolated
+    genes first (ordered by gene_end, like the reference's memory-chunked
+    sweep) then overlap-group genes.
+    """
+    gene_cov: "OrderedDict[str, np.ndarray]" = OrderedDict()
+    p = len(sample_ids)
+
+    for chrom in exon_df.chr.unique():
+        cdf = exon_df[exon_df.chr == chrom]
+        per_sample = [results[sid].get(chrom) for sid in sample_ids]
+
+        # ---- isolated genes: slice chromosome vectors at exon unions ----
+        any_iso = any(cc is not None and cc.isolated_coverage is not None
+                      for cc in per_sample)
+        iso_genes_order = (
+            cdf[["gene", "gene_end"]].drop_duplicates()
+            .sort_values("gene_end").gene.tolist())
+        overlap_genes_present = set()
+        for cc in per_sample:
+            if cc is not None:
+                overlap_genes_present |= set(cc.overlap_coverage.keys())
+
+        if any_iso:
+            chrom_len = max(len(cc.isolated_coverage) for cc in per_sample
+                            if cc is not None
+                            and cc.isolated_coverage is not None)
+            for gene in iso_genes_order:
+                if gene in overlap_genes_present:
+                    continue
+                tx = exon_union_positions(cdf[cdf.gene == gene])
+                rows = []
+                for cc in per_sample:
+                    if cc is None or cc.isolated_coverage is None:
+                        rows.append(np.zeros(len(tx)))
+                    else:
+                        rows.append(cc.isolated_coverage[tx].astype(float))
+                gene_cov[gene] = np.vstack(rows)
+
+        # ---- overlap genes: stack stored per-gene vectors ----
+        for gene in sorted(overlap_genes_present):
+            rows = []
+            L = None
+            for cc in per_sample:
+                v = None if cc is None else cc.overlap_coverage.get(gene)
+                if v is not None:
+                    L = len(v)
+            if L is None:
+                continue
+            for cc in per_sample:
+                v = None if cc is None else cc.overlap_coverage.get(gene)
+                rows.append(np.zeros(L) if v is None else v.astype(float))
+            gene_cov[gene] = np.vstack(rows)
+
+    return gene_cov

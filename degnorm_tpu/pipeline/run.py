@@ -1,0 +1,202 @@
+"""End-to-end pipeline orchestration — the ``degnorm`` CLI body
+(reference ``__main__.py:16-319``) on the TPU engine.
+
+Cold path: BAM ETL -> merge -> gene filters -> bucketed NMF-OA on device ->
+output contract.  Warm path: reload a prior run's coverage/counts and jump
+straight to the device loop.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+import sys
+from collections import OrderedDict
+from datetime import datetime
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from degnorm_tpu.config import EngineConfig, NMFConfig, PipelineConfig
+from degnorm_tpu.engine import DegNormEngine
+from degnorm_tpu.io.gtf import process_annotation
+from degnorm_tpu.io.merge import merge_coverage, merge_read_counts
+from degnorm_tpu.io.overlap import overlap_structure
+from degnorm_tpu.pipeline import outputs
+from degnorm_tpu.pipeline.sample import BamSampleProcessor
+from degnorm_tpu.pipeline.warm_start import load_from_previous
+
+log = logging.getLogger("degnorm_tpu")
+
+
+def create_output_dir(base_dir: str) -> str:
+    """Timestamped run directory, reference naming scheme
+    (utils.py:49-79): degnorm_<mmddYY>_<HHMMSS>."""
+    stamp = datetime.now().strftime("%m%d%Y_%H%M%S")
+    out = os.path.join(base_dir, f"degnorm_{stamp}")
+    os.makedirs(out, exist_ok=True)
+    return out
+
+
+def configure_logger(output_dir: Optional[str] = None) -> None:
+    """Stream + degnorm.log file logging (utils.py:16-34 format)."""
+    fmt = logging.Formatter("DegNorm (%(asctime)s) ---- %(message)s")
+    log.setLevel(logging.DEBUG)
+    log.handlers.clear()
+    h = logging.StreamHandler(sys.stdout)
+    h.setFormatter(fmt)
+    log.addHandler(h)
+    if output_dir:
+        fh = logging.FileHandler(os.path.join(output_dir, "degnorm.log"))
+        fh.setFormatter(fmt)
+        log.addHandler(fh)
+
+
+def run_pipeline(cfg: PipelineConfig, output_dir: Optional[str] = None
+                 ) -> Dict:
+    """Run the full DegNorm pipeline; returns a dict with the fit result,
+    gene tables, and the output directory path."""
+    output_dir = output_dir or create_output_dir(cfg.output_dir)
+
+    if cfg.warm_start_dir:
+        log.info("WARM START: loading preprocessed data from %s",
+                 cfg.warm_start_dir)
+        warm = load_from_previous(cfg.warm_start_dir, output_dir)
+        gene_cov_dict = warm["gene_cov_dict"]
+        read_count_df = warm["read_count_df"]
+        genes_df = warm["genes_df"]
+        sample_ids = warm["sample_ids"]
+        exon_df = warm["exon_df"]
+    else:
+        gene_cov_dict, read_count_df, genes_df, exon_df, sample_ids = (
+            _cold_start(cfg, output_dir))
+
+    # ---- gene filters before NMF (reference __main__.py:221-238, plus the
+    # MPI-only caps __main_mpi__.py:374-376, unified per SURVEY.md §7.2) ----
+    drop = []
+    for gene, F in gene_cov_dict.items():
+        too_low = F.max() < cfg.minimax_coverage
+        too_short = F.shape[1] <= cfg.nmf.downsample_rate
+        too_long = F.shape[1] > cfg.max_gene_length
+        too_high = F.max() > cfg.max_coverage
+        if too_low or too_short or too_long or too_high:
+            drop.append(gene)
+    for gene in drop:
+        del gene_cov_dict[gene]
+    if drop:
+        genes_df = genes_df[~genes_df.gene.isin(drop)].reset_index(drop=True)
+        read_count_df = read_count_df[
+            ~read_count_df.gene.isin(drop)].reset_index(drop=True)
+    if not gene_cov_dict:
+        raise ValueError("No genes available to run through DegNorm!")
+
+    log.info("DegNorm will run on %d genes across %d samples.",
+             len(gene_cov_dict), len(sample_ids))
+
+    # ---- the device loop ----
+    engine = DegNormEngine(cfg.nmf, cfg.engine)
+    counts = read_count_df[sample_ids].values.astype(np.float64)
+    result = engine.run(gene_cov_dict, counts)
+
+    # ---- outputs (reference nmf.py:603-711 contract) ----
+    gene_chrom = dict(zip(genes_df.gene, genes_df.chr))
+    estimates = OrderedDict(zip(result.genes, result.estimates()))
+    outputs.save_results(
+        output_dir, result.genes, gene_chrom, result.rho, result.x_adj,
+        result.ran_baseline_selection, estimates, sample_ids)
+
+    if cfg.plot_genes:
+        try:
+            from degnorm_tpu.report.data_access import get_coverage_plots
+            wanted = [g for g in cfg.plot_genes if g in set(result.genes)]
+            if wanted:
+                get_coverage_plots(wanted, degnorm_dir=output_dir,
+                                   save_dir=output_dir)
+        except Exception as e:   # plots must never fail the pipeline
+            log.warning("coverage plotting failed: %s", e)
+
+    try:
+        from degnorm_tpu.report.report import render_report
+        render_report(
+            data_dir=output_dir,
+            degnorm_data={"degnorm_iter": cfg.nmf.degnorm_iter,
+                          "nmf_iter": cfg.nmf.nmf_iter,
+                          "downsample_rate": cfg.nmf.downsample_rate,
+                          "rho": result.rho, "genes": result.genes},
+            bam_files=(list(cfg.bam_files) if not cfg.warm_start_dir
+                       else [cfg.warm_start_dir]),
+            sample_ids=sample_ids, top_n_genes=5, output_dir=output_dir)
+    except Exception as e:
+        log.warning("report rendering failed: %s", e)
+
+    return {"result": result, "genes_df": genes_df,
+            "read_count_df": read_count_df, "sample_ids": sample_ids,
+            "output_dir": output_dir, "exon_df": exon_df}
+
+
+def _cold_start(cfg: PipelineConfig, output_dir: str):
+    """BAM/GTF ETL (reference __main__.py:55-209)."""
+    if not cfg.bam_files:
+        raise ValueError("no .bam files supplied")
+    if not cfg.genome_annotation:
+        raise ValueError("no genome annotation (.gtf) supplied")
+
+    samples = [BamSampleProcessor(b, unique_alignment=cfg.unique_alignments,
+                                  output_dir=output_dir)
+               for b in cfg.bam_files]
+    sample_ids = [s.sample_id for s in samples]
+    if len(set(sample_ids)) < len(sample_ids):
+        raise ValueError("duplicate sample IDs among .bam files")
+
+    # chromosomes: intersection of all samples' headers, restricted to the
+    # annotation (reference __main__.py:87-99)
+    chroms = set(samples[0].chroms)
+    for s in samples[1:]:
+        chroms &= set(s.chroms)
+    exon_df = process_annotation(cfg.genome_annotation,
+                                 chroms=sorted(chroms))
+    gene_df = exon_df[["chr", "gene", "gene_start", "gene_end"]
+                      ].drop_duplicates().reset_index(drop=True)
+
+    used_chroms = exon_df.chr.unique().tolist()
+    overlap_by_chrom = {
+        c: overlap_structure(gene_df[gene_df.chr == c]) for c in used_chroms}
+
+    results = {}
+    for s in samples:
+        s.chroms = used_chroms
+        log.info("SAMPLE %s: computing coverage/read counts (%s)",
+                 s.sample_id, "paired" if s.paired else "single-end")
+        results[s.sample_id] = s.coverage_read_counts(
+            overlap_by_chrom, gene_df, exon_df, n_jobs=cfg.n_jobs)
+
+    read_count_df = merge_read_counts(results, sample_ids, used_chroms)
+    gene_cov_dict = merge_coverage(results, sample_ids, exon_df)
+
+    # clean up per-sample scratch (reference __main__.py:168-170)
+    for sid in sample_ids:
+        scratch = os.path.join(output_dir, sid)
+        if os.path.isdir(scratch):
+            shutil.rmtree(scratch)
+
+    # order counts/genes by coverage-dict order (reference __main__.py:175-190)
+    genes = list(gene_cov_dict.keys())
+    genes_df = (gene_df.set_index("gene").loc[genes].reset_index()
+                [["chr", "gene", "gene_start", "gene_end"]])
+    read_count_df = (read_count_df.set_index("gene").loc[genes].reset_index()
+                     [["gene", "chr"] + sample_ids])
+    read_count_df = read_count_df[["chr", "gene"] + sample_ids]
+    exon_df = exon_df[exon_df.gene.isin(genes)]
+
+    # save gene annotation metadata + raw read counts (__main__.py:199-209)
+    exon_df.to_csv(os.path.join(output_dir, "gene_exon_metadata.csv"),
+                   index=False)
+    read_count_df.to_csv(os.path.join(output_dir, "read_counts.csv"),
+                         index=False)
+
+    # raw coverage matrices pickles (reads_coverage_merge.py:439-452)
+    gene_chrom = dict(zip(genes_df.gene, genes_df.chr))
+    outputs.save_coverage_matrices(output_dir, gene_chrom, gene_cov_dict)
+
+    return gene_cov_dict, read_count_df, genes_df, exon_df, sample_ids

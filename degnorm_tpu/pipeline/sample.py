@@ -1,0 +1,173 @@
+"""Per-sample BAM ETL driver — the BamReadsProcessor equivalent
+(reference ``reads.py:95-847``) built on the dependency-free io/ stack.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Mapping, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from degnorm_tpu.io import bam as bamio
+from degnorm_tpu.io.coverage import ChromCoverage, chromosome_coverage_read_counts
+
+log = logging.getLogger("degnorm_tpu")
+
+
+class BamSampleProcessor:
+    """Loads one .bam, sniffs pairedness, and computes per-chromosome
+    coverage + read counts."""
+
+    def __init__(self, bam_file: str, chroms: Optional[Sequence[str]] = None,
+                 unique_alignment: bool = True, output_dir: Optional[str] = None):
+        self.filename = bam_file
+        self.sample_id = ".".join(os.path.basename(bam_file).split(".")[:-1])
+        self.unique_alignment = unique_alignment
+        self.output_dir = output_dir
+        self.save_dir = (os.path.join(output_dir, self.sample_id)
+                         if output_dir else None)
+
+        self.header = bamio.read_header(bam_file)
+        names = self.header.ref_names
+        if chroms is not None:
+            names = [c for c in names if c in set(chroms)]
+        self.chroms = names
+        self._cols_by_tid: Dict[int, bamio.ReadColumns] = {}
+        self.paired = self._sniff_paired()
+
+    @property
+    def header_df(self) -> pd.DataFrame:
+        return self.header.as_frame()
+
+    def _load_all(self):
+        if not self._cols_by_tid:
+            _, cols = bamio.read_bam(self.filename)
+            for t in np.unique(cols.tid):
+                self._cols_by_tid[int(t)] = _subset_cols(cols, cols.tid == t)
+
+    def _sniff_paired(self) -> bool:
+        """Pairedness heuristic from the first 301 query names on the first
+        chromosome: all qnames end in '.1'/'.2' (reference reads.py:178-203).
+        """
+        self._load_all()
+        first_tid = self.header.ref_names.index(self.chroms[0]) \
+            if self.chroms else 0
+        cols = self._cols_by_tid.get(first_tid)
+        if cols is None or len(cols) == 0:
+            return False
+        qnames = cols.qnames[:301]
+        tokens = {q.split(".")[-1] for q in qnames}
+        return tokens == {"1", "2"}
+
+    def chromosome_coverage(self, chrom: str, chrom_gene_df, chrom_exon_df,
+                            overlap_dat) -> ChromCoverage:
+        tid = self.header.ref_names.index(chrom)
+        chrom_len = self.header.ref_lengths[tid]
+        cols = self._cols_by_tid.get(tid)
+        if cols is None:
+            cols = _empty_cols()
+        return chromosome_coverage_read_counts(
+            cols, chrom, chrom_len, chrom_gene_df, chrom_exon_df,
+            overlap_dat, paired=self.paired,
+            unique_alignment=self.unique_alignment)
+
+    def coverage_read_counts(self, overlap_by_chrom: Mapping[str, dict],
+                             gene_df: pd.DataFrame, exon_df: pd.DataFrame,
+                             n_jobs: int = 1) -> Dict[str, ChromCoverage]:
+        """All chromosomes (threaded), optionally persisting reference-layout
+        artifacts for resume (reads.py:368-386 semantics)."""
+        self._load_all()
+        results: Dict[str, ChromCoverage] = {}
+
+        def work(chrom):
+            if self.save_dir and self._artifacts_exist(chrom):
+                return chrom, self._load_artifacts(chrom)
+            cc = self.chromosome_coverage(
+                chrom,
+                gene_df[gene_df.chr == chrom],
+                exon_df[exon_df.chr == chrom],
+                overlap_by_chrom[chrom])
+            if self.save_dir:
+                self._save_artifacts(cc)
+            return chrom, cc
+
+        if n_jobs > 1 and len(self.chroms) > 1:
+            with ThreadPoolExecutor(max_workers=n_jobs) as ex:
+                for chrom, cc in ex.map(work, self.chroms):
+                    results[chrom] = cc
+        else:
+            for chrom in self.chroms:
+                _, results[chrom] = work(chrom)
+        return results
+
+    # -- reference-layout per-(sample,chrom) artifacts -------------------
+    def _paths(self, chrom):
+        sid = self.sample_id
+        return (
+            os.path.join(self.save_dir, f"chrom_coverage_{sid}_{chrom}.npz"),
+            os.path.join(self.save_dir, f"overlap_coverage_{sid}_{chrom}.pkl"),
+            os.path.join(self.save_dir, f"read_counts_{sid}_{chrom}.csv"),
+        )
+
+    def _artifacts_exist(self, chrom) -> bool:
+        npz, pkl_f, csv = self._paths(chrom)
+        return os.path.isfile(csv) and (
+            os.path.isfile(npz) or os.path.isfile(pkl_f))
+
+    def _save_artifacts(self, cc: ChromCoverage) -> None:
+        from scipy import sparse
+        os.makedirs(self.save_dir, exist_ok=True)
+        npz, pkl_f, csv = self._paths(cc.chrom)
+        if cc.isolated_coverage is not None:
+            sparse.save_npz(npz, sparse.csr_matrix(cc.isolated_coverage))
+        if cc.overlap_coverage:
+            with open(pkl_f, "wb") as f:
+                pickle.dump(cc.overlap_coverage, f)
+        pd.DataFrame({"gene": list(cc.read_counts.keys()),
+                      self.sample_id: list(cc.read_counts.values())}
+                     ).to_csv(csv, index=False)
+
+    def _load_artifacts(self, chrom) -> ChromCoverage:
+        from scipy import sparse
+        npz, pkl_f, csv = self._paths(chrom)
+        iso = None
+        if os.path.isfile(npz):
+            iso = np.asarray(sparse.load_npz(npz).todense()).ravel()
+        ol = {}
+        if os.path.isfile(pkl_f):
+            with open(pkl_f, "rb") as f:
+                ol = pickle.load(f)
+        cnt = pd.read_csv(csv)
+        counts = dict(zip(cnt.gene, cnt[self.sample_id]))
+        return ChromCoverage(chrom=chrom, isolated_coverage=iso,
+                             overlap_coverage=ol, read_counts=counts)
+
+
+def _subset_cols(cols: bamio.ReadColumns, mask: np.ndarray) -> bamio.ReadColumns:
+    idx = np.flatnonzero(mask)
+    counts = np.diff(cols.cigar_offsets)
+    keep_ops = np.repeat(mask, counts)
+    new_counts = counts[idx]
+    return bamio.ReadColumns(
+        qnames=cols.qnames[idx],
+        tid=cols.tid[idx], pos=cols.pos[idx], flag=cols.flag[idx],
+        rnext=cols.rnext[idx], nh=cols.nh[idx],
+        cigar_ops=cols.cigar_ops[keep_ops],
+        cigar_lens=cols.cigar_lens[keep_ops],
+        cigar_offsets=np.concatenate([[0], np.cumsum(new_counts)]),
+    )
+
+
+def _empty_cols() -> bamio.ReadColumns:
+    return bamio.ReadColumns(
+        qnames=np.array([], dtype=object),
+        tid=np.array([], np.int32), pos=np.array([], np.int32),
+        flag=np.array([], np.uint16), rnext=np.array([], np.int32),
+        nh=np.array([], np.int32), cigar_ops=np.array([], np.int8),
+        cigar_lens=np.array([], np.int32),
+        cigar_offsets=np.array([0], np.int64),
+    )

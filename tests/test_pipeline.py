@@ -1,0 +1,116 @@
+"""End-to-end pipeline tests on synthetic BAM + GTF data — the equivalent
+of the reference's test_zzz_pipeline.py CLI runs, plus warm start."""
+import os
+import pickle
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from degnorm_tpu.io.simulate import make_genes, write_gtf, write_sample_bam
+
+
+CHROM_LEN = 80_000
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("simdata")
+    rng = np.random.default_rng(42)
+    genes = make_genes(rng, n_genes=8, overlap_fraction=0.25)
+    gtf = str(d / "sim.gtf")
+    write_gtf(gtf, genes)
+    bams = []
+    for i, deg in enumerate((0.0, 0.5)):
+        bam = str(d / f"sample{i}.bam")
+        write_sample_bam(bam, genes, CHROM_LEN, seed=100 + i,
+                         mean_reads_per_gene=120, degradation=deg)
+        bams.append(bam)
+    return {"gtf": gtf, "bams": bams, "genes": genes, "dir": str(d)}
+
+
+def run_cli(dataset, tmp_path, extra=()):
+    from degnorm_tpu.cli import main
+    out_base = str(tmp_path)
+    rc = main([
+        "--bam-files", *dataset["bams"],
+        "-g", dataset["gtf"],
+        "-o", out_base,
+        "--nmf-iter", "5",
+        "--iter", "2",
+        *extra,
+    ])
+    assert rc == 0
+    runs = [p for p in os.listdir(out_base) if p.startswith("degnorm_")]
+    assert len(runs) == 1
+    return os.path.join(out_base, runs[0])
+
+
+def test_pipeline_end_to_end(dataset, tmp_path):
+    out = run_cli(dataset, tmp_path)
+    for fname in ("degradation_index_scores.csv", "adjusted_read_counts.csv",
+                  "ran_baseline_selection.csv", "read_counts.csv",
+                  "gene_exon_metadata.csv", "degnorm.log"):
+        assert os.path.isfile(os.path.join(out, fname)), fname
+
+    di = pd.read_csv(os.path.join(out, "degradation_index_scores.csv"))
+    assert list(di.columns[:2]) == ["chr", "gene"]
+    assert {"sample0", "sample1"} <= set(di.columns)
+    vals = di[["sample0", "sample1"]].values
+    assert np.isfinite(vals).all() and (vals >= 0).all() and (vals <= 0.9).all()
+
+    # full-pipeline numeric parity: the float64 oracle on the run's own
+    # merged coverage matrices must reproduce the saved DI scores.
+    from degnorm_tpu.config import NMFConfig
+    from degnorm_tpu.oracle import nmfoa as oracle
+    cov_pkl = pickle.load(open(
+        os.path.join(out, "chr1", "coverage_matrices_chr1.pkl"), "rb"))
+    counts_df = pd.read_csv(os.path.join(out, "read_counts.csv"))
+    cov_mats = [np.asarray(cov_pkl[g], float) for g in di.gene]
+    X = counts_df.set_index("gene").loc[di.gene][
+        ["sample0", "sample1"]].values.astype(float)
+    gold = oracle.degnorm_fit(cov_mats, X, NMFConfig(nmf_iter=5,
+                                                     degnorm_iter=2))
+    np.testing.assert_allclose(vals, gold.rho, rtol=1e-4, atol=1e-6)
+
+    # coverage matrix pickles, raw + estimated
+    cov_f = os.path.join(out, "chr1", "coverage_matrices_chr1.pkl")
+    est_f = os.path.join(out, "chr1", "estimated_coverage_matrices_chr1.pkl")
+    assert os.path.isfile(cov_f) and os.path.isfile(est_f)
+    cov = pickle.load(open(cov_f, "rb"))
+    est = pickle.load(open(est_f, "rb"))
+    assert set(cov) == set(est) == set(di.gene)
+    for g in cov:
+        assert cov[g].shape == est[g].shape
+        assert cov[g].shape[0] == 2
+
+    counts = pd.read_csv(os.path.join(out, "read_counts.csv"))
+    assert (counts[["sample0", "sample1"]].values.sum(axis=1) > 0).any()
+
+
+def test_pipeline_warm_start(dataset, tmp_path):
+    out1 = run_cli(dataset, tmp_path / "first")
+    from degnorm_tpu.cli import main
+    out_base = str(tmp_path / "second")
+    os.makedirs(out_base)
+    rc = main(["-w", out1, "-o", out_base, "--nmf-iter", "5", "--iter", "2"])
+    assert rc == 0
+    runs = [p for p in os.listdir(out_base) if p.startswith("degnorm_")]
+    out2 = os.path.join(out_base, runs[0])
+
+    di1 = pd.read_csv(os.path.join(out1, "degradation_index_scores.csv"))
+    di2 = pd.read_csv(os.path.join(out2, "degradation_index_scores.csv"))
+    m1 = di1.set_index("gene")[["sample0", "sample1"]]
+    m2 = di2.set_index("gene")[["sample0", "sample1"]]
+    pd.testing.assert_frame_equal(m1.sort_index(), m2.sort_index(),
+                                  check_exact=False, rtol=1e-6)
+
+
+def test_pipeline_minimax_filter(dataset, tmp_path):
+    out = run_cli(dataset, tmp_path, extra=("--minimax-coverage", "5"))
+    di = pd.read_csv(os.path.join(out, "degradation_index_scores.csv"))
+    cov = pickle.load(open(
+        os.path.join(out, "chr1", "coverage_matrices_chr1.pkl"), "rb"))
+    # every surviving gene clears the minimax threshold
+    for g in di.gene:
+        assert cov[g].max() >= 5
