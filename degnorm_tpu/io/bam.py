@@ -127,12 +127,25 @@ def _parse_header(buf: bytes) -> Tuple[BamHeader, int]:
 
 
 def read_bam(path: str, *, tid: Optional[int] = None,
-             drop_unmapped: bool = True) -> Tuple[BamHeader, ReadColumns]:
+             drop_unmapped: bool = True,
+             native: Optional[bool] = None) -> Tuple[BamHeader, ReadColumns]:
     """Decode a whole BAM file into columnar arrays.
 
     ``tid``: keep only records on that reference id (like pysam
     fetch(chrom), reads.py:225, but streaming — no .bai required).
+
+    Uses the C++ reader (io/native/) when available — parallel BGZF
+    inflate + single-pass record decode; falls back to the pure-Python
+    path.  Set ``native=False`` (or DEGNORM_TPU_NO_NATIVE=1) to force the
+    Python implementation.
     """
+    import os as _os
+    if native is None:
+        native = _os.environ.get("DEGNORM_TPU_NO_NATIVE", "0") != "1"
+    if native:
+        out = _read_bam_native(path, tid=tid, drop_unmapped=drop_unmapped)
+        if out is not None:
+            return out
     with open(path, "rb") as f:
         raw = f.read()
     buf = bgzf.decompress(raw)
@@ -190,6 +203,63 @@ def read_bam(path: str, *, tid: Optional[int] = None,
         cigar_offsets=np.array(offsets, dtype=np.int64),
     )
     return header, cols
+
+
+def _read_bam_native(path: str, *, tid: Optional[int],
+                     drop_unmapped: bool
+                     ) -> Optional[Tuple[BamHeader, ReadColumns]]:
+    """C++ fast path (io/native/bam_reader.cpp); None if unavailable."""
+    import ctypes
+
+    from degnorm_tpu.io.native.build import DnBamData, load_library
+    lib = load_library()
+    if lib is None:
+        return None
+    data = DnBamData()
+    rc = lib.dn_read_bam(path.encode(), -1 if tid is None else int(tid),
+                         1 if drop_unmapped else 0, 0, ctypes.byref(data))
+    try:
+        if rc != 0:
+            raise ValueError(
+                f"native BAM read failed: "
+                f"{(data.error or b'?').decode(errors='replace')}")
+        n = int(data.n_reads)
+
+        def arr(ptr, count, dtype):
+            if count == 0:
+                return np.empty(0, dtype)
+            return np.ctypeslib.as_array(ptr, shape=(count,)).astype(
+                dtype, copy=True)
+
+        coff = arr(data.cigar_offsets, n + 1, np.int64)
+        n_cig = int(coff[-1]) if n else 0
+        qoff = arr(data.qname_offsets, n + 1, np.int64)
+        qbytes = ctypes.string_at(data.qnames, int(qoff[-1])) if n else b""
+        qnames = np.array(
+            [qbytes[qoff[i]:qoff[i + 1] - 1].decode() for i in range(n)],
+            dtype=object)
+
+        ref_lens = arr(data.ref_lens, int(data.n_refs), np.int32)
+        ref_blob = ctypes.string_at(
+            data.ref_names, int(data.ref_names_bytes)) if data.n_refs else b""
+        ref_names = [s.decode() for s in ref_blob.split(b"\x00") if s]
+
+        header = BamHeader(text="", ref_names=ref_names,
+                           ref_lengths=[int(x) for x in ref_lens])
+        cols = ReadColumns(
+            qnames=qnames,
+            tid=arr(data.tid, n, np.int32),
+            pos=arr(data.pos, n, np.int32),
+            flag=arr(data.flag, n, np.uint16),
+            rnext=arr(data.rnext, n, np.int32),
+            nh=arr(data.nh, n, np.int32),
+            cigar_ops=arr(data.cigar_ops, n_cig, np.int8),
+            cigar_lens=arr(data.cigar_lens, n_cig, np.int32),
+            cigar_offsets=coff if n else np.array([0], np.int64),
+        )
+        return header, cols
+    finally:
+        lib.dn_free_bam(ctypes.byref(data))
 
 
 # ---------------------------------------------------------------------------

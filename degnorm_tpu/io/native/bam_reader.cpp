@@ -1,0 +1,309 @@
+// Native BAM reader: BGZF inflate + record decode into columnar arrays.
+//
+// TPU-native replacement for the reference's pysam/htslib dependency
+// (reference loaders.py:64-70, reads.py:223-245; SURVEY.md §2.3): the
+// data-loader is the one genuinely native component of the DegNorm
+// pipeline.  Decompression is parallelized across BGZF blocks (each block
+// is an independent raw-deflate member); record decode is a single linear
+// pass emitting the same columnar layout io/bam.py::ReadColumns uses, so
+// the Python ctypes wrapper (io/native.py) is a drop-in fast path.
+//
+// C ABI only — consumed via ctypes (no pybind11 in this environment).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+#include <zlib.h>
+
+namespace {
+
+struct Block {
+    size_t comp_off;    // offset of deflate payload in file buffer
+    size_t comp_len;
+    size_t out_off;     // offset in decompressed stream
+    size_t out_len;     // ISIZE
+};
+
+bool scan_blocks(const uint8_t* buf, size_t n, std::vector<Block>& blocks,
+                 size_t& total_out) {
+    size_t off = 0;
+    total_out = 0;
+    while (off + 18 <= n) {
+        if (buf[off] != 0x1f || buf[off + 1] != 0x8b) return false;
+        uint16_t xlen;
+        memcpy(&xlen, buf + off + 10, 2);
+        size_t extra = off + 12;
+        int32_t bsize = -1;
+        size_t i = 0;
+        while (i + 4 <= xlen) {
+            uint8_t si1 = buf[extra + i], si2 = buf[extra + i + 1];
+            uint16_t slen;
+            memcpy(&slen, buf + extra + i + 2, 2);
+            if (si1 == 66 && si2 == 67 && slen == 2) {
+                uint16_t bs;
+                memcpy(&bs, buf + extra + i + 4, 2);
+                bsize = (int32_t)bs + 1;
+                break;
+            }
+            i += 4 + slen;
+        }
+        if (bsize < 0) return false;
+        size_t cdata_off = extra + xlen;
+        size_t cdata_len = (size_t)bsize - 12 - xlen - 8;
+        uint32_t isize;
+        memcpy(&isize, buf + off + bsize - 4, 4);
+        blocks.push_back({cdata_off, cdata_len, total_out, isize});
+        total_out += isize;
+        off += bsize;
+    }
+    return off == n;
+}
+
+bool inflate_block(const uint8_t* src, size_t src_len, uint8_t* dst,
+                   size_t dst_len) {
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, -15) != Z_OK) return false;
+    zs.next_in = const_cast<uint8_t*>(src);
+    zs.avail_in = (uInt)src_len;
+    zs.next_out = dst;
+    zs.avail_out = (uInt)dst_len;
+    int rc = inflate(&zs, Z_FINISH);
+    inflateEnd(&zs);
+    return rc == Z_STREAM_END && zs.total_out == dst_len;
+}
+
+template <typename T>
+T rd(const uint8_t* p) {
+    T v;
+    memcpy(&v, p, sizeof(T));
+    return v;
+}
+
+// scan aux fields for NH:i (any integer subtype); 0 when absent
+int32_t parse_nh(const uint8_t* p, const uint8_t* end) {
+    while (p + 3 <= end) {
+        char t0 = (char)p[0], t1 = (char)p[1];
+        uint8_t vt = p[2];
+        p += 3;
+        int size = 0;
+        switch (vt) {
+            case 'A': case 'c': case 'C': size = 1; break;
+            case 's': case 'S': size = 2; break;
+            case 'i': case 'I': case 'f': size = 4; break;
+            case 'Z': case 'H': {
+                while (p < end && *p) p++;
+                p++;
+                continue;
+            }
+            case 'B': {
+                if (p + 5 > end) return 0;
+                uint8_t sub = p[0];
+                uint32_t cnt = rd<uint32_t>(p + 1);
+                int esz = (sub == 'c' || sub == 'C') ? 1
+                          : (sub == 's' || sub == 'S') ? 2 : 4;
+                p += 5 + (size_t)cnt * esz;
+                continue;
+            }
+            default: return 0;
+        }
+        if (t0 == 'N' && t1 == 'H') {
+            switch (vt) {
+                case 'c': return (int32_t)rd<int8_t>(p);
+                case 'C': return (int32_t)rd<uint8_t>(p);
+                case 's': return (int32_t)rd<int16_t>(p);
+                case 'S': return (int32_t)rd<uint16_t>(p);
+                case 'i': return rd<int32_t>(p);
+                case 'I': return (int32_t)rd<uint32_t>(p);
+                default: break;
+            }
+        }
+        p += size;
+    }
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+struct DnBamData {
+    // alignment columns
+    int64_t n_reads;
+    int32_t* tid;
+    int32_t* pos;
+    uint16_t* flag;
+    int32_t* rnext;
+    int32_t* nh;
+    int8_t* cigar_ops;
+    int32_t* cigar_lens;
+    int64_t* cigar_offsets;   // n_reads + 1
+    char* qnames;             // concatenated, NUL-separated
+    int64_t* qname_offsets;   // n_reads + 1
+    // header
+    int32_t n_refs;
+    char* ref_names;          // concatenated, NUL-separated
+    int64_t ref_names_bytes;
+    int32_t* ref_lens;
+    char* error;              // NULL on success
+};
+
+static char* dup_err(const std::string& msg) {
+    char* e = (char*)malloc(msg.size() + 1);
+    memcpy(e, msg.c_str(), msg.size() + 1);
+    return e;
+}
+
+void dn_free_bam(DnBamData* d) {
+    if (!d) return;
+    free(d->tid); free(d->pos); free(d->flag); free(d->rnext); free(d->nh);
+    free(d->cigar_ops); free(d->cigar_lens); free(d->cigar_offsets);
+    free(d->qnames); free(d->qname_offsets);
+    free(d->ref_names); free(d->ref_lens);
+    free(d->error);
+    memset(d, 0, sizeof(*d));
+}
+
+// tid_filter: -1 = all reference sequences. drop_unmapped: skip FLAG&4.
+int dn_read_bam(const char* path, int32_t tid_filter, int drop_unmapped,
+                int n_threads, DnBamData* out) {
+    memset(out, 0, sizeof(*out));
+
+    FILE* f = fopen(path, "rb");
+    if (!f) { out->error = dup_err("cannot open file"); return 1; }
+    fseek(f, 0, SEEK_END);
+    long fsize = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    std::vector<uint8_t> raw((size_t)fsize);
+    if (fread(raw.data(), 1, raw.size(), f) != raw.size()) {
+        fclose(f);
+        out->error = dup_err("short read");
+        return 1;
+    }
+    fclose(f);
+
+    // ---- parallel BGZF inflate ----
+    std::vector<Block> blocks;
+    size_t total_out = 0;
+    if (!scan_blocks(raw.data(), raw.size(), blocks, total_out)) {
+        out->error = dup_err("malformed BGZF stream");
+        return 1;
+    }
+    std::vector<uint8_t> buf(total_out);
+    int nt = n_threads > 0 ? n_threads
+                           : (int)std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    nt = std::min<int>(nt, (int)blocks.size() ? (int)blocks.size() : 1);
+    std::vector<std::thread> threads;
+    std::vector<int> errs(nt, 0);
+    for (int t = 0; t < nt; t++) {
+        threads.emplace_back([&, t]() {
+            for (size_t b = t; b < blocks.size(); b += nt) {
+                const Block& blk = blocks[b];
+                if (blk.out_len == 0) continue;
+                if (!inflate_block(raw.data() + blk.comp_off, blk.comp_len,
+                                   buf.data() + blk.out_off, blk.out_len))
+                    errs[t] = 1;
+            }
+        });
+    }
+    for (auto& th : threads) th.join();
+    for (int e : errs)
+        if (e) { out->error = dup_err("BGZF inflate failed"); return 1; }
+    raw.clear();
+    raw.shrink_to_fit();
+
+    // ---- header ----
+    const uint8_t* p = buf.data();
+    const uint8_t* end = p + buf.size();
+    if (buf.size() < 12 || memcmp(p, "BAM\1", 4) != 0) {
+        out->error = dup_err("bad BAM magic");
+        return 1;
+    }
+    int32_t l_text = rd<int32_t>(p + 4);
+    p += 8 + l_text;
+    int32_t n_ref = rd<int32_t>(p);
+    p += 4;
+    std::string ref_names;
+    std::vector<int32_t> ref_lens(n_ref);
+    for (int32_t i = 0; i < n_ref; i++) {
+        int32_t l_name = rd<int32_t>(p);
+        ref_names.append((const char*)(p + 4), (size_t)l_name);  // incl NUL
+        ref_lens[i] = rd<int32_t>(p + 4 + l_name);
+        p += 8 + l_name;
+    }
+
+    // ---- records ----
+    std::vector<int32_t> tid_v, pos_v, rnext_v, nh_v, clens_v;
+    std::vector<uint16_t> flag_v;
+    std::vector<int8_t> cops_v;
+    std::vector<int64_t> coff_v{0}, qoff_v{0};
+    std::string qnames;
+    tid_v.reserve(1 << 20);
+
+    while (p + 4 <= end) {
+        int32_t block_size = rd<int32_t>(p);
+        const uint8_t* r = p + 4;
+        p = r + block_size;
+        if (p > end) { out->error = dup_err("truncated record"); return 1; }
+        int32_t refID = rd<int32_t>(r);
+        int32_t pos = rd<int32_t>(r + 4);
+        uint8_t l_read_name = r[8];
+        uint16_t n_cigar = rd<uint16_t>(r + 12);
+        uint16_t flag = rd<uint16_t>(r + 14);
+        int32_t l_seq = rd<int32_t>(r + 16);
+        int32_t next_refID = rd<int32_t>(r + 20);
+        if (tid_filter >= 0 && refID != tid_filter) continue;
+        if (drop_unmapped && (flag & 0x4)) continue;
+
+        const uint8_t* q = r + 32;
+        qnames.append((const char*)q, l_read_name);   // includes NUL
+        qoff_v.push_back((int64_t)qnames.size());
+        q += l_read_name;
+        for (uint16_t c = 0; c < n_cigar; c++) {
+            uint32_t v = rd<uint32_t>(q + 4ull * c);
+            cops_v.push_back((int8_t)(v & 0xF));
+            clens_v.push_back((int32_t)(v >> 4));
+        }
+        coff_v.push_back((int64_t)cops_v.size());
+        q += 4ull * n_cigar;
+        const uint8_t* aux = q + (l_seq + 1) / 2 + l_seq;
+        nh_v.push_back(parse_nh(aux, r + block_size));
+
+        tid_v.push_back(refID);
+        pos_v.push_back(pos);
+        flag_v.push_back(flag);
+        rnext_v.push_back(next_refID);
+    }
+
+    // ---- pack outputs ----
+    auto copy_out = [](auto& vec, auto*& ptr) {
+        using T = typename std::remove_reference<decltype(vec)>::type::value_type;
+        ptr = (T*)malloc(vec.size() * sizeof(T));
+        memcpy(ptr, vec.data(), vec.size() * sizeof(T));
+    };
+    out->n_reads = (int64_t)tid_v.size();
+    copy_out(tid_v, out->tid);
+    copy_out(pos_v, out->pos);
+    copy_out(flag_v, out->flag);
+    copy_out(rnext_v, out->rnext);
+    copy_out(nh_v, out->nh);
+    copy_out(cops_v, out->cigar_ops);
+    copy_out(clens_v, out->cigar_lens);
+    copy_out(coff_v, out->cigar_offsets);
+    copy_out(qoff_v, out->qname_offsets);
+    out->qnames = (char*)malloc(qnames.size());
+    memcpy(out->qnames, qnames.data(), qnames.size());
+    out->n_refs = n_ref;
+    out->ref_names = (char*)malloc(ref_names.size());
+    memcpy(out->ref_names, ref_names.data(), ref_names.size());
+    out->ref_names_bytes = (int64_t)ref_names.size();
+    copy_out(ref_lens, out->ref_lens);
+    return 0;
+}
+
+}  // extern "C"

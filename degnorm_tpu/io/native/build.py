@@ -1,0 +1,80 @@
+"""Build + load the native BAM reader shared library.
+
+Compiled lazily on first use with g++ (cached beside the source, keyed by a
+source hash); consumers fall back to the pure-Python reader when no
+toolchain is available.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "bam_reader.cpp")
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_FAILED = False
+
+
+class DnBamData(ctypes.Structure):
+    _fields_ = [
+        ("n_reads", ctypes.c_int64),
+        ("tid", ctypes.POINTER(ctypes.c_int32)),
+        ("pos", ctypes.POINTER(ctypes.c_int32)),
+        ("flag", ctypes.POINTER(ctypes.c_uint16)),
+        ("rnext", ctypes.POINTER(ctypes.c_int32)),
+        ("nh", ctypes.POINTER(ctypes.c_int32)),
+        ("cigar_ops", ctypes.POINTER(ctypes.c_int8)),
+        ("cigar_lens", ctypes.POINTER(ctypes.c_int32)),
+        ("cigar_offsets", ctypes.POINTER(ctypes.c_int64)),
+        ("qnames", ctypes.POINTER(ctypes.c_char)),
+        ("qname_offsets", ctypes.POINTER(ctypes.c_int64)),
+        ("n_refs", ctypes.c_int32),
+        ("ref_names", ctypes.POINTER(ctypes.c_char)),
+        ("ref_names_bytes", ctypes.c_int64),
+        ("ref_lens", ctypes.POINTER(ctypes.c_int32)),
+        ("error", ctypes.c_char_p),
+    ]
+
+
+def _so_path() -> str:
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_DIR, f"libdnbam_{h}.so")
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    """Compile (if needed) and load the native library; None on failure."""
+    global _LIB, _FAILED
+    if _LIB is not None or _FAILED:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None or _FAILED:
+            return _LIB
+        so = _so_path()
+        if not os.path.isfile(so):
+            cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                   "-std=c++17", "-pthread", _SRC, "-o", so + ".tmp", "-lz"]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True,
+                               timeout=120)
+                os.replace(so + ".tmp", so)
+            except Exception:
+                _FAILED = True
+                return None
+        try:
+            lib = ctypes.CDLL(so)
+            lib.dn_read_bam.restype = ctypes.c_int
+            lib.dn_read_bam.argtypes = [
+                ctypes.c_char_p, ctypes.c_int32, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(DnBamData)]
+            lib.dn_free_bam.restype = None
+            lib.dn_free_bam.argtypes = [ctypes.POINTER(DnBamData)]
+            _LIB = lib
+        except OSError:
+            _FAILED = True
+    return _LIB

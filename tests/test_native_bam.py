@@ -1,0 +1,46 @@
+"""Native (C++) BAM reader parity with the pure-Python decoder."""
+import os
+
+import numpy as np
+import pytest
+
+from degnorm_tpu.io import bam as bamio
+from degnorm_tpu.io.native.build import load_library
+from degnorm_tpu.io.simulate import make_genes, write_sample_bam
+
+
+@pytest.fixture(scope="module")
+def bam_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("nbam")
+    rng = np.random.default_rng(3)
+    genes = make_genes(rng, n_genes=6)
+    path = str(d / "s.bam")
+    write_sample_bam(path, genes, 100_000, seed=5,
+                     mean_reads_per_gene=200, paired=True)
+    return path
+
+
+def test_native_library_builds():
+    assert load_library() is not None, "g++ toolchain should be available"
+
+
+@pytest.mark.parametrize("tid", [None, 0])
+def test_native_matches_python(bam_file, tid):
+    hdr_py, cols_py = bamio.read_bam(bam_file, tid=tid, native=False)
+    out = bamio._read_bam_native(bam_file, tid=tid, drop_unmapped=True)
+    assert out is not None
+    hdr_c, cols_c = out
+
+    assert hdr_c.ref_names == hdr_py.ref_names
+    assert hdr_c.ref_lengths == hdr_py.ref_lengths
+    assert list(cols_c.qnames) == list(cols_py.qnames)
+    for field in ("tid", "pos", "flag", "rnext", "nh",
+                  "cigar_ops", "cigar_lens", "cigar_offsets"):
+        np.testing.assert_array_equal(
+            getattr(cols_c, field), getattr(cols_py, field), err_msg=field)
+
+
+def test_native_is_default(bam_file, monkeypatch):
+    monkeypatch.delenv("DEGNORM_TPU_NO_NATIVE", raising=False)
+    hdr, cols = bamio.read_bam(bam_file)
+    assert len(cols) > 0
