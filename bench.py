@@ -69,6 +69,16 @@ def time_reference(cov, X, m):
 
 
 def main():
+    import jax
+    # persistent compilation cache: the big fused kernels compile slowly
+    # (especially through remote-compile tunnels); cache across runs.
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/degnorm_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     from degnorm_tpu.config import EngineConfig, NMFConfig
     from degnorm_tpu.engine import DegNormEngine
 

@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep reads with NH > 1")
     p.add_argument("-p", "--proc-per-node", type=int, default=1,
                    help="host threads for ETL")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (DEGNORM_TPU_* env "
+                        "vars) and shard genes over all hosts' devices")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard genes over all local devices")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "float64"])
     p.add_argument("--rank1-method", default="power",
@@ -70,7 +75,8 @@ def expand_plot_genes(vals: Optional[List[str]]) -> List[str]:
     return list(dict.fromkeys(genes))
 
 
-def parse_config(argv: Optional[List[str]] = None) -> PipelineConfig:
+def parse_config(argv: Optional[List[str]] = None,
+                 return_args: bool = False):
     args = build_parser().parse_args(argv)
 
     bam_files = list(args.bam_files or [])
@@ -94,7 +100,7 @@ def parse_config(argv: Optional[List[str]] = None) -> PipelineConfig:
         downsample_rate=args.downsample_rate,
         skip_baseline_selection=args.skip_baseline_selection)
     eng = EngineConfig(dtype=args.dtype, rank1_method=args.rank1_method)
-    return PipelineConfig(
+    cfg = PipelineConfig(
         bam_files=tuple(bam_files),
         bai_files=tuple(args.bai_files or []),
         genome_annotation=args.genome_annotation,
@@ -105,15 +111,27 @@ def parse_config(argv: Optional[List[str]] = None) -> PipelineConfig:
         unique_alignments=not args.non_unique_alignments,
         n_jobs=args.proc_per_node,
         nmf=nmf, engine=eng)
+    return (cfg, args) if return_args else cfg
 
 
 def main(argv: Optional[List[str]] = None) -> int:
     from degnorm_tpu.pipeline.run import (configure_logger, create_output_dir,
                                           run_pipeline)
-    cfg = parse_config(argv)
+    cfg, args = parse_config(argv, return_args=True)
+
+    mesh = None
+    if args.multihost:
+        from degnorm_tpu.parallel.distributed import (global_mesh,
+                                                      initialize_multihost)
+        initialize_multihost()
+        mesh = global_mesh()
+    elif args.mesh:
+        from degnorm_tpu.parallel.sharded import make_mesh
+        mesh = make_mesh()
+
     output_dir = create_output_dir(cfg.output_dir)
     configure_logger(output_dir)
-    run_pipeline(cfg, output_dir=output_dir)
+    run_pipeline(cfg, output_dir=output_dir, mesh=mesh)
     return 0
 
 

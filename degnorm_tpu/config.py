@@ -82,6 +82,12 @@ class EngineConfig:
     # (warm-started power iteration, TPU fast path) or "eigh" (exact batched
     # eigendecomposition, parity/debug path).
     rank1_method: str = "power"
+    # Route the NMF-OA loop through the fused VMEM-resident Pallas kernel
+    # (ops/pallas_nmf.py) on TPU. Ignored for method="eigh"/float64 or when
+    # a single gene's working set exceeds VMEM.
+    use_pallas: bool = True
+    # Run the Pallas kernel in interpreter mode (CPU testing only).
+    pallas_interpret: bool = False
     # Computation dtype on device. float32 is TPU-native; the golden oracle
     # runs float64 on host for parity gating.
     dtype: str = "float32"

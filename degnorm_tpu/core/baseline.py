@@ -111,11 +111,15 @@ def baseline_select_bucket(
     lm_f = len_mask.astype(dtype)
     Fm = F * lm_f[:, None, :]
 
+    use_pallas = eng_cfg.use_pallas and (
+        eng_cfg.pallas_interpret or jax.default_backend() != "cpu")
     nmf_kwargs = dict(
         nmf_iter=nmf_cfg.nmf_iter,
         power_iters_cold=eng_cfg.power_iters_cold,
         power_iters_warm=eng_cfg.power_iters_warm,
         method=eng_cfg.rank1_method,
+        use_pallas=use_pallas,
+        pallas_interpret=eng_cfg.pallas_interpret,
     )
 
     # ---- high-coverage mask (nmf.py:66-76,220) ----

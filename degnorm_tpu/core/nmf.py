@@ -29,6 +29,8 @@ def nmf_masked(
     power_iters_cold: int = 30,
     power_iters_warm: int = 6,
     method: str = "power",
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the NMF-OA loop on a masked gene bucket.
 
@@ -36,11 +38,23 @@ def nmf_masked(
       F: (G, p, W) nonnegative coverage batch (already scale-adjusted).
       mask: (G, W) active-column mask.
       nmf_iter: number of Lagrangian iterations (reference ``nmf_iter``).
+      use_pallas: route through the fused VMEM-resident TPU kernel
+        (ops/pallas_nmf.py) when shapes/dtype allow.
 
     Returns (K, E, u): rank-1 factors (G,p), (G,W) and the final unit left
     vector for warm starts. K, E are nonnegative (Perron orientation);
     their product matches the reference's signed factors' product.
     """
+    if use_pallas and method == "power":
+        from degnorm_tpu.ops.pallas_nmf import (nmf_masked_pallas,
+                                                pallas_supported)
+        if pallas_supported(F.shape, F.dtype):
+            return nmf_masked_pallas(
+                F, mask, nmf_iter=nmf_iter,
+                power_iters_cold=power_iters_cold,
+                power_iters_warm=power_iters_warm,
+                interpret=pallas_interpret)
+
     m = mask.astype(F.dtype)
     A0 = F * m[:, None, :]
 

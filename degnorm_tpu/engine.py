@@ -73,9 +73,15 @@ class DegNormResult:
 
 class DegNormEngine:
     def __init__(self, nmf_cfg: Optional[NMFConfig] = None,
-                 eng_cfg: Optional[EngineConfig] = None):
+                 eng_cfg: Optional[EngineConfig] = None,
+                 mesh=None):
+        """``mesh``: optional 1-D jax.sharding.Mesh; when given, every
+        bucket's gene axis is sharded across its devices (the NMF/trim
+        kernels are gene-parallel, so no collectives are needed —
+        parallel/sharded.py)."""
         self.nmf_cfg = nmf_cfg or NMFConfig()
         self.eng_cfg = eng_cfg or EngineConfig()
+        self.mesh = mesh
         self._buckets: List[GeneBucket] = []
         self._device_F: List[jnp.ndarray] = []
         self._device_mask: List[jnp.ndarray] = []
@@ -83,8 +89,9 @@ class DegNormEngine:
         self._final_scale: Optional[np.ndarray] = None
 
     # -- setup -----------------------------------------------------------
-    def _pack(self, cov_mats: Sequence[np.ndarray], n_devices: int = 1):
+    def _pack(self, cov_mats: Sequence[np.ndarray]):
         dtype = jnp.dtype(self.eng_cfg.dtype)
+        n_devices = int(self.mesh.devices.size) if self.mesh is not None else 1
         self._buckets = pack_buckets(
             cov_mats,
             bucket_widths=self.eng_cfg.bucket_widths,
@@ -92,8 +99,16 @@ class DegNormEngine:
             pad_genes_to=n_devices,
             max_genes_per_bucket=self.eng_cfg.max_genes_per_batch,
         )
-        self._device_F = [jnp.asarray(b.F) for b in self._buckets]
-        self._device_mask = [jnp.asarray(b.len_mask()) for b in self._buckets]
+        if self.mesh is not None:
+            from degnorm_tpu.parallel.sharded import shard_bucket
+            placed = [shard_bucket(b.F, b.len_mask(), self.mesh)
+                      for b in self._buckets]
+            self._device_F = [f for f, _ in placed]
+            self._device_mask = [m for _, m in placed]
+        else:
+            self._device_F = [jnp.asarray(b.F) for b in self._buckets]
+            self._device_mask = [jnp.asarray(b.len_mask())
+                                 for b in self._buckets]
 
     def _ds_starts(self, bucket: GeneBucket, iteration: int) -> jnp.ndarray:
         """Deterministic per-gene systematic-sampling offsets.
@@ -111,7 +126,13 @@ class DegNormEngine:
 
     # -- main loop -------------------------------------------------------
     def run(self, cov_dat: Mapping[str, np.ndarray],
-            reads_dat: np.ndarray) -> DegNormResult:
+            reads_dat: np.ndarray,
+            checkpoint_dir: Optional[str] = None) -> DegNormResult:
+        """Fit DegNorm.  With ``checkpoint_dir``, outer-loop state is
+        snapshotted after every iteration and a matching checkpoint found
+        there resumes the loop mid-run (the reference has no in-loop
+        checkpointing, SURVEY.md §5.4)."""
+        import time as _time
         genes = list(cov_dat.keys())
         cov_mats = [np.asarray(cov_dat[g]) for g in genes]
         n = len(cov_mats)
@@ -129,24 +150,43 @@ class DegNormEngine:
                 raise ValueError(
                     "downsample_rate exceeds the shortest gene length")
 
+        t0 = _time.perf_counter()
         self._pack(cov_mats)
         dtype = jnp.dtype(self.eng_cfg.dtype)
+        self.timings = {"pack": _time.perf_counter() - t0}
+
+        # ---- resume from checkpoint? ----
+        start_iter = 0
+        state = None
+        ran_bs = np.zeros((n, self.nmf_cfg.degnorm_iter), dtype=bool)
+        if checkpoint_dir:
+            from degnorm_tpu.pipeline.checkpoints import load_checkpoint
+            ckpt = load_checkpoint(checkpoint_dir, genes)
+            if ckpt and ckpt["iteration"] + 1 < self.nmf_cfg.degnorm_iter:
+                state = ckpt["state"]
+                saved = ckpt["ran_baseline_selection"]
+                ran_bs[:, :saved.shape[1]] = saved[:, :ran_bs.shape[1]]
+                start_iter = ckpt["iteration"] + 1
 
         # ---- initialization (nmf.py:512-535) ----
-        cov_sums = np.zeros((n, p))
-        est_sums = np.zeros((n, p))
-        for b, F_d, m_d in zip(self._buckets, self._device_F,
-                               self._device_mask):
-            cs, es = _bucket_init(F_d, m_d, self.eng_cfg)
-            scatter_rows(cov_sums, np.asarray(cs, np.float64), b.gene_indices)
-            scatter_rows(est_sums, np.asarray(es, np.float64), b.gene_indices)
-        rho_init = outer.rho_from_ratio_svd(cov_sums, est_sums)
-        state = outer.init_state(rho_init, x)
-
-        ran_bs = np.zeros((n, self.nmf_cfg.degnorm_iter), dtype=bool)
+        if state is None:
+            t0 = _time.perf_counter()
+            cov_sums = np.zeros((n, p))
+            est_sums = np.zeros((n, p))
+            for b, F_d, m_d in zip(self._buckets, self._device_F,
+                                   self._device_mask):
+                cs, es = _bucket_init(F_d, m_d, self.eng_cfg)
+                scatter_rows(cov_sums, np.asarray(cs, np.float64),
+                             b.gene_indices)
+                scatter_rows(est_sums, np.asarray(es, np.float64),
+                             b.gene_indices)
+            rho_init = outer.rho_from_ratio_svd(cov_sums, est_sums)
+            state = outer.init_state(rho_init, x)
+            self.timings["init"] = _time.perf_counter() - t0
 
         # ---- DegNorm iterations (nmf.py:556-596) ----
-        for it in range(self.nmf_cfg.degnorm_iter):
+        t0 = _time.perf_counter()
+        for it in range(start_iter, self.nmf_cfg.degnorm_iter):
             rho_raw = np.zeros((n, p))
             results: List[BucketResult] = []
             sf = jnp.asarray(state.scale_factors, dtype)
@@ -160,6 +200,11 @@ class DegNormEngine:
                 scatter_rows(ran_bs[:, it], np.asarray(res.ran_bs),
                              b.gene_indices)
             state = outer.iteration_update(state, rho_raw)
+            if checkpoint_dir:
+                from degnorm_tpu.pipeline.checkpoints import save_checkpoint
+                save_checkpoint(checkpoint_dir, it, state, ran_bs[:, :it + 1],
+                                genes)
+        self.timings["iterations"] = _time.perf_counter() - t0
 
         self._last_results = results
         self._final_scale = state.scale_factors / state.norm_factors

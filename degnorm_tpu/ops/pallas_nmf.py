@@ -1,0 +1,143 @@
+"""Fused Pallas TPU kernel for the NMF-OA Lagrangian loop.
+
+The XLA path (core/nmf.py) materializes ``est``, ``lambda`` and ``X = A0 +
+lambda`` in HBM on every one of the ``nmf_iter`` iterations — ~5 HBM passes
+over the (G, p, W) bucket per iteration, making the loop HBM-bandwidth
+bound.  This kernel keeps one gene-block's coverage AND its Lagrange
+multipliers resident in VMEM for the entire loop:
+
+    HBM traffic:   XLA  ~ 5 * nmf_iter * G*p*W*4 bytes
+                   here ~ 2 * G*p*W*4 bytes   (read A0, write E)
+
+so the loop becomes VPU compute-bound (the Gram contraction is p passes
+over the block, p <= 32).  The gene-block size is chosen so that
+(A0, lambda + transients) fit in ~12 MB of VMEM.
+
+Numerics are identical to core/nmf.py: cold-start power iteration on the
+p x p Gram matrix, warm-started u across Lagrangian steps, Perron sign
+convention.  Masked columns are pre-zeroed in A0, which is exact for the
+rank-1 factors (core/linalg.py docstring).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-30
+# VMEM working-set budget (bytes) for choosing the gene-block size.
+_VMEM_BUDGET = 6 * 1024 * 1024
+
+
+def _gram(X):
+    """(BG, p, W) -> (BG, p, p) via p vectorized row reductions (the
+    batched dot_general form does not lower through Mosaic for tiny p)."""
+    p = X.shape[1]
+    rows = [jnp.sum(X * X[:, i:i + 1, :], axis=2) for i in range(p)]
+    return jnp.stack(rows, axis=1)          # B[g, i, q]
+
+
+def _power(B, u, n_iters):
+    def body(_, u):
+        v = jnp.sum(B * u[:, None, :], axis=2)
+        nrm = jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True))
+        return jnp.where(nrm > _EPS, v / (nrm + _EPS), u)
+    return jax.lax.fori_loop(0, n_iters, body, u)
+
+
+def _rank1(X, u0, n_iters):
+    B = _gram(X)
+    u = _power(B, u0, n_iters)
+    Bu = jnp.sum(B * u[:, None, :], axis=2)
+    s = jnp.sqrt(jnp.maximum(jnp.sum(u * Bu, axis=1), 0.0))   # (BG,)
+    v = jnp.sum(X * u[:, :, None], axis=1) / (s[:, None] + _EPS)
+    return u * s[:, None], v, u
+
+
+def _nmf_kernel(a0_ref, k_ref, e_ref, u_ref, lam_ref, *,
+                nmf_iter, power_cold, power_warm):
+    A0 = a0_ref[:]                                  # (BG, p, W)
+    BG, p, W = A0.shape
+    u0 = jnp.full((BG, p), 1.0 / (p ** 0.5), A0.dtype)
+
+    K, E, u = _rank1(A0, u0, power_cold)
+    lam_ref[:] = jnp.zeros_like(A0)
+    step = 1.0 / (nmf_iter ** 0.5)
+
+    def body(_, carry):
+        K, E, u = carry
+        est = K[:, :, None] * E[:, None, :]
+        lam = jnp.maximum(lam_ref[:] - step * (est - A0), 0.0)
+        lam_ref[:] = lam
+        return _rank1(A0 + lam, u, power_warm)
+
+    K, E, u = jax.lax.fori_loop(0, nmf_iter, body, (K, E, u))
+    k_ref[:] = K
+    e_ref[:] = E
+    u_ref[:] = u
+
+
+def pick_block_genes(G: int, p: int, W: int, dtype_bytes: int = 4) -> int:
+    """Largest gene-block whose working set (~3 full blocks: A0, lambda,
+    transient) fits the VMEM budget."""
+    per_gene = 4 * p * W * dtype_bytes
+    bg = max(1, _VMEM_BUDGET // per_gene)
+    return int(min(bg, G))
+
+
+def nmf_masked_pallas(
+    F: jnp.ndarray,
+    mask: jnp.ndarray,
+    *,
+    nmf_iter: int,
+    power_iters_cold: int = 30,
+    power_iters_warm: int = 6,
+    block_genes: Optional[int] = None,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Drop-in replacement for core.nmf.nmf_masked (method="power")."""
+    G, p, W = F.shape
+    A0 = F * mask.astype(F.dtype)[:, None, :]
+    bg = block_genes or pick_block_genes(G, p, W)
+    # pad G to a multiple of the block size (zero genes are harmless)
+    G_pad = ((G + bg - 1) // bg) * bg
+    if G_pad != G:
+        A0 = jnp.pad(A0, ((0, G_pad - G), (0, 0), (0, 0)))
+
+    kernel = functools.partial(
+        _nmf_kernel, nmf_iter=nmf_iter, power_cold=power_iters_cold,
+        power_warm=power_iters_warm)
+
+    K, E, u = pl.pallas_call(
+        kernel,
+        grid=(G_pad // bg,),
+        in_specs=[pl.BlockSpec((bg, p, W), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((bg, p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((G_pad, p), F.dtype),
+            jax.ShapeDtypeStruct((G_pad, W), F.dtype),
+            jax.ShapeDtypeStruct((G_pad, p), F.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((bg, p, W), F.dtype)],
+        interpret=interpret,
+    )(A0)
+    return K[:G], E[:G], u[:G]
+
+
+def pallas_supported(F_shape, dtype) -> bool:
+    """Pallas path prerequisites: float32, and a single gene fits VMEM."""
+    G, p, W = F_shape
+    return (jnp.dtype(dtype) == jnp.float32
+            and 3 * p * W * 4 <= _VMEM_BUDGET)

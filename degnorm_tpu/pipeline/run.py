@@ -53,10 +53,13 @@ def configure_logger(output_dir: Optional[str] = None) -> None:
         log.addHandler(fh)
 
 
-def run_pipeline(cfg: PipelineConfig, output_dir: Optional[str] = None
-                 ) -> Dict:
+def run_pipeline(cfg: PipelineConfig, output_dir: Optional[str] = None,
+                 mesh=None) -> Dict:
     """Run the full DegNorm pipeline; returns a dict with the fit result,
-    gene tables, and the output directory path."""
+    gene tables, and the output directory path.
+
+    ``mesh``: optional device mesh for gene-sharded execution (single- or
+    multi-host; see parallel/)."""
     output_dir = output_dir or create_output_dir(cfg.output_dir)
 
     if cfg.warm_start_dir:
@@ -95,7 +98,7 @@ def run_pipeline(cfg: PipelineConfig, output_dir: Optional[str] = None
              len(gene_cov_dict), len(sample_ids))
 
     # ---- the device loop ----
-    engine = DegNormEngine(cfg.nmf, cfg.engine)
+    engine = DegNormEngine(cfg.nmf, cfg.engine, mesh=mesh)
     counts = read_count_df[sample_ids].values.astype(np.float64)
     result = engine.run(gene_cov_dict, counts)
 

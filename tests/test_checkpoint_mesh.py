@@ -1,0 +1,52 @@
+"""Checkpoint/resume and mesh-sharded engine equivalence."""
+import numpy as np
+import pytest
+
+from degnorm_tpu.config import EngineConfig, NMFConfig
+from degnorm_tpu.engine import DegNormEngine
+from degnorm_tpu.parallel.sharded import make_mesh
+from tests.test_engine import make_dataset
+
+
+CFG = NMFConfig(nmf_iter=6, degnorm_iter=3)
+ENG = EngineConfig(rank1_method="power", dtype="float64",
+                   bucket_widths=(256, 512, 1024))
+
+
+def test_checkpoint_resume_matches_uninterrupted(tmp_path):
+    cov, X = make_dataset(seed=9)
+
+    full = DegNormEngine(CFG, ENG).run(cov, X)
+
+    # run 2-of-3 iterations, "crash", then resume for the remainder
+    part_cfg = NMFConfig(nmf_iter=6, degnorm_iter=2)
+    DegNormEngine(part_cfg, ENG).run(cov, X, checkpoint_dir=str(tmp_path))
+    resumed = DegNormEngine(CFG, ENG).run(cov, X,
+                                          checkpoint_dir=str(tmp_path))
+
+    np.testing.assert_allclose(resumed.rho, full.rho, rtol=1e-12)
+    np.testing.assert_allclose(resumed.x_adj, full.x_adj, rtol=1e-12)
+    np.testing.assert_allclose(resumed.scale_factors, full.scale_factors,
+                               rtol=1e-12)
+    np.testing.assert_array_equal(resumed.ran_baseline_selection,
+                                  full.ran_baseline_selection)
+
+
+def test_checkpoint_ignored_on_gene_mismatch(tmp_path):
+    cov, X = make_dataset(seed=9, n=6)
+    DegNormEngine(NMFConfig(nmf_iter=4, degnorm_iter=1), ENG).run(
+        cov, X, checkpoint_dir=str(tmp_path))
+    cov2, X2 = make_dataset(seed=10, n=7)
+    res = DegNormEngine(NMFConfig(nmf_iter=4, degnorm_iter=1), ENG).run(
+        cov2, X2, checkpoint_dir=str(tmp_path))
+    assert res.rho.shape[0] == 7
+
+
+def test_mesh_engine_matches_single_device():
+    cov, X = make_dataset(seed=12)
+    plain = DegNormEngine(CFG, ENG).run(cov, X)
+    meshed = DegNormEngine(CFG, ENG, mesh=make_mesh()).run(cov, X)
+    np.testing.assert_allclose(meshed.rho, plain.rho, rtol=1e-12)
+    np.testing.assert_allclose(meshed.x_adj, plain.x_adj, rtol=1e-12)
+    for a, b in zip(meshed.estimates(), plain.estimates()):
+        np.testing.assert_allclose(a, b, rtol=1e-10)
