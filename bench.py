@@ -28,8 +28,9 @@ REF_GENES = int(os.environ.get("BENCH_REF_GENES", 24))
 def synth_dataset(n, p, seed=7):
     rng = np.random.default_rng(seed)
     cov = OrderedDict()
-    # power-law-ish gene lengths, 200..6000 bp
-    lengths = np.clip((rng.pareto(1.7, n) + 1) * 220, 200, 6000).astype(int)
+    # power-law-ish gene lengths, 200..4000 bp (two bucket widths; keeps
+    # the number of distinct kernel shapes — and compiles — small)
+    lengths = np.clip((rng.pareto(1.7, n) + 1) * 220, 200, 4000).astype(int)
     for i in range(n):
         L = int(lengths[i])
         t = np.linspace(0, 1, L)
@@ -84,7 +85,7 @@ def main():
 
     cov, X = synth_dataset(N_GENES, P_SAMPLES)
     nmf_cfg = NMFConfig(nmf_iter=NMF_ITER, degnorm_iter=DEGNORM_ITER)
-    eng_cfg = EngineConfig(bucket_widths=(512, 1024, 2048, 4096, 8192))
+    eng_cfg = EngineConfig(bucket_widths=(1024, 4096))
 
     # warm-up: compile every bucket shape with a 1-iteration config
     warm = DegNormEngine(NMFConfig(nmf_iter=NMF_ITER, degnorm_iter=1), eng_cfg)
