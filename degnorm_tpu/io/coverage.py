@@ -195,15 +195,20 @@ def segments_fully_inside(P: np.ndarray, seg_start: np.ndarray,
 # ---------------------------------------------------------------------------
 
 def gene_exon_containment(exon_starts0: np.ndarray, exon_ends: np.ndarray,
-                          seg_start: np.ndarray, seg_end: np.ndarray
-                          ) -> np.ndarray:
+                          seg_start: np.ndarray, seg_end: np.ndarray,
+                          compat: str = "reference") -> np.ndarray:
     """Per segment: is [start, end] inside some single exon of this gene?
 
-    Exon bounds follow the reference convention (reads.py:575-576): starts
-    0-indexed, ends left 1-indexed — i.e. one base beyond the true
-    0-indexed inclusive end — and the containment test is
-    start >= e_start and end <= e_end (reads.py:299).
+    In compat mode, exon bounds follow the reference convention
+    (reads.py:575-576): starts 0-indexed, ends left 1-indexed — i.e. one
+    base beyond the true 0-indexed inclusive end — and the containment
+    test is start >= e_start and end <= e_end (reads.py:299), so a read
+    may overhang an exon's true end by one base.  Note the reference also
+    pairs separately-sorted starts and ends; sorting + a running end max
+    reproduces that exactly.  Strict mode uses true inclusive ends.
     """
+    if compat != "reference":
+        exon_ends = exon_ends - 1
     order = np.argsort(exon_starts0, kind="stable")
     s = exon_starts0[order]
     e_cummax = np.maximum.accumulate(exon_ends[order])
@@ -342,7 +347,7 @@ def chromosome_coverage_read_counts(
             n_caught = np.zeros(len(grp_units), dtype=np.int64)
             caught_gene = np.full(len(grp_units), -1, dtype=np.int64)
             for gi, (g, gstart0, gend0, es0, ee, tx) in enumerate(gene_info):
-                seg_in = gene_exon_containment(es0, ee, gs, ge)
+                seg_in = gene_exon_containment(es0, ee, gs, ge, compat=compat)
                 unit_in = np.ones(len(grp_units), dtype=bool)
                 np.logical_and.at(unit_in, gu, seg_in)
                 n_caught += unit_in
