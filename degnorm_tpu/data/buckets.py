@@ -20,6 +20,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _quantize_count(g: int) -> int:
+    """Round a gene count up to a coarse ladder (64, 96, 128, 192, 256, ...)
+    so bucket shapes — and therefore compiled kernels — recur across
+    datasets and runs.  Kernel compiles are expensive (minutes on remote
+    TPU toolchains) while padded genes cost ~nothing at runtime; worst-case
+    padding is 50%, typical <20%."""
+    import math
+    if g <= 64:
+        return 64
+    b = 1 << int(math.floor(math.log2(g)))
+    for cand in (b, b + b // 2, 2 * b):
+        if g <= cand:
+            return cand
+    return 2 * b
+
+
 @dataclasses.dataclass
 class GeneBucket:
     """A padded batch of same-width genes.
@@ -49,6 +65,7 @@ def pack_buckets(
     dtype=np.float32,
     pad_genes_to: int = 1,
     max_genes_per_bucket: int = 0,
+    quantize_genes: bool = True,
 ) -> List[GeneBucket]:
     """Pack ragged (p x L_i) matrices into padded GeneBuckets.
 
@@ -80,6 +97,9 @@ def pack_buckets(
         for chunk in chunks:
             g = len(chunk)
             g_pad = _round_up(g, max(pad_genes_to, 1))
+            if quantize_genes:
+                g_pad = _round_up(_quantize_count(g_pad),
+                                  max(pad_genes_to, 1))
             F = np.zeros((g_pad, p, w), dtype=dtype)
             lengths = np.zeros(g_pad, dtype=np.int32)
             gene_indices = np.full(g_pad, -1, dtype=np.int32)
