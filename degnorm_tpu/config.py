@@ -98,6 +98,10 @@ class EngineConfig:
     max_genes_per_batch: int = 4096
     # Gene-data-parallel mesh axis name.
     mesh_axis: str = "genes"
+    # When set, capture a jax.profiler trace of the DegNorm iterations into
+    # this directory (viewable with TensorBoard / xprof). The reference has
+    # no tracing at all (SURVEY.md §5.1).
+    profile_dir: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -185,25 +185,31 @@ class DegNormEngine:
             self.timings["init"] = _time.perf_counter() - t0
 
         # ---- DegNorm iterations (nmf.py:556-596) ----
+        import contextlib
+        prof = (jax.profiler.trace(self.eng_cfg.profile_dir)
+                if self.eng_cfg.profile_dir else contextlib.nullcontext())
         t0 = _time.perf_counter()
-        for it in range(start_iter, self.nmf_cfg.degnorm_iter):
-            rho_raw = np.zeros((n, p))
-            results: List[BucketResult] = []
-            sf = jnp.asarray(state.scale_factors, dtype)
-            for b, F_d, m_d in zip(self._buckets, self._device_F,
-                                   self._device_mask):
-                res = _bucket_step(F_d, m_d, sf, self._ds_starts(b, it),
-                                   self.nmf_cfg.kernel_key(), self.eng_cfg)
-                results.append(res)
-                scatter_rows(rho_raw, np.asarray(res.rho, np.float64),
-                             b.gene_indices)
-                scatter_rows(ran_bs[:, it], np.asarray(res.ran_bs),
-                             b.gene_indices)
-            state = outer.iteration_update(state, rho_raw)
-            if checkpoint_dir:
-                from degnorm_tpu.pipeline.checkpoints import save_checkpoint
-                save_checkpoint(checkpoint_dir, it, state, ran_bs[:, :it + 1],
-                                genes)
+        with prof:
+            for it in range(start_iter, self.nmf_cfg.degnorm_iter):
+                rho_raw = np.zeros((n, p))
+                results: List[BucketResult] = []
+                sf = jnp.asarray(state.scale_factors, dtype)
+                for b, F_d, m_d in zip(self._buckets, self._device_F,
+                                       self._device_mask):
+                    res = _bucket_step(F_d, m_d, sf, self._ds_starts(b, it),
+                                       self.nmf_cfg.kernel_key(),
+                                       self.eng_cfg)
+                    results.append(res)
+                    scatter_rows(rho_raw, np.asarray(res.rho, np.float64),
+                                 b.gene_indices)
+                    scatter_rows(ran_bs[:, it], np.asarray(res.ran_bs),
+                                 b.gene_indices)
+                state = outer.iteration_update(state, rho_raw)
+                if checkpoint_dir:
+                    from degnorm_tpu.pipeline.checkpoints import (
+                        save_checkpoint)
+                    save_checkpoint(checkpoint_dir, it, state,
+                                    ran_bs[:, :it + 1], genes)
         self.timings["iterations"] = _time.perf_counter() - t0
 
         self._last_results = results
