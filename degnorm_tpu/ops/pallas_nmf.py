@@ -82,11 +82,13 @@ def _nmf_kernel(a0_ref, k_ref, e_ref, u_ref, lam_ref, *,
 
 
 def pick_block_genes(G: int, p: int, W: int, dtype_bytes: int = 4) -> int:
-    """Largest gene-block whose working set (~3 full blocks: A0, lambda,
-    transient) fits the VMEM budget."""
+    """Largest gene-block whose working set (~4 full blocks: A0, lambda,
+    transients) fits the VMEM budget.  Must be a multiple of 8: the gene
+    axis is the second-to-last dim of the (bg, p)/(bg, W) output blocks and
+    TPU tiling requires sublane divisibility."""
     per_gene = 4 * p * W * dtype_bytes
-    bg = max(1, _VMEM_BUDGET // per_gene)
-    return int(min(bg, G))
+    bg = (_VMEM_BUDGET // per_gene) // 8 * 8
+    return int(max(8, min(bg, ((G + 7) // 8) * 8)))
 
 
 def nmf_masked_pallas(
@@ -137,7 +139,9 @@ def nmf_masked_pallas(
 
 
 def pallas_supported(F_shape, dtype) -> bool:
-    """Pallas path prerequisites: float32, and a single gene fits VMEM."""
+    """Pallas path prerequisites: float32, and a minimal 8-gene block's
+    working set fits VMEM."""
     G, p, W = F_shape
     return (jnp.dtype(dtype) == jnp.float32
-            and 3 * p * W * 4 <= _VMEM_BUDGET)
+            and W % 128 == 0
+            and 8 * 4 * p * W * 4 <= _VMEM_BUDGET)
