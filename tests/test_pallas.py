@@ -1,0 +1,52 @@
+"""Fused Pallas NMF kernel parity (interpret mode on CPU)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from degnorm_tpu.config import EngineConfig, NMFConfig
+from degnorm_tpu.core.baseline import baseline_select_bucket
+from degnorm_tpu.core.nmf import nmf_masked
+from degnorm_tpu.ops.pallas_nmf import nmf_masked_pallas, pick_block_genes
+from tests.conftest import random_coverage
+from tests.test_core_parity import make_bucket
+
+
+def test_block_sizing_sublane_aligned():
+    for G, p, W in ((192, 8, 4096), (1000, 4, 512), (3, 2, 256)):
+        bg = pick_block_genes(G, p, W)
+        assert bg % 8 == 0 and bg >= 8
+
+
+def test_pallas_nmf_matches_xla():
+    rng = np.random.default_rng(44)
+    mats = [random_coverage(rng, 4, L).astype(np.float32)
+            for L in (150, 256, 90)]
+    F, mask = make_bucket(mats, 256, dtype=np.float32)
+    kw = dict(nmf_iter=10, power_iters_cold=60, power_iters_warm=10)
+    K1, E1, _ = nmf_masked(F, mask, **kw)
+    K2, E2, _ = nmf_masked_pallas(F, mask, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(K1), np.asarray(K2),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(E1), np.asarray(E2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_baseline_bucket_with_pallas_path():
+    """The whole trim kernel with the fused NMF inside (interpret mode)
+    must match the plain XLA path at float32 tolerance."""
+    rng = np.random.default_rng(45)
+    mats = [random_coverage(rng, 3, L, degraded=(i % 2 == 0)
+                            ).astype(np.float32)
+            for i, L in enumerate((210, 300, 450, 128))]
+    F, mask = make_bucket(mats, 512, dtype=np.float32)
+    cfg = NMFConfig(nmf_iter=6)
+    eng_plain = EngineConfig(rank1_method="power", dtype="float32",
+                             use_pallas=False)
+    eng_pl = EngineConfig(rank1_method="power", dtype="float32",
+                          use_pallas=True, pallas_interpret=True)
+    r1 = baseline_select_bucket(F, mask, cfg, eng_plain)
+    r2 = baseline_select_bucket(F, mask, cfg, eng_pl)
+    np.testing.assert_array_equal(np.asarray(r1.ran_bs),
+                                  np.asarray(r2.ran_bs))
+    np.testing.assert_allclose(np.asarray(r1.rho), np.asarray(r2.rho),
+                               rtol=5e-3, atol=5e-4)
