@@ -62,6 +62,11 @@ class ReadColumns:
     cigar_ops: np.ndarray     # int8 flattened op codes
     cigar_lens: np.ndarray    # int32 flattened run lengths
     cigar_offsets: np.ndarray  # int64, len = n_reads + 1
+    # Optional precomputed pairing columns (filled by the native reader):
+    # pair_hash = 64-bit hash of the qname sans trailing ".1"/".2" token,
+    # mate_code = 1/2 for those suffixes, 0 otherwise.
+    pair_hash: Optional[np.ndarray] = None
+    mate_code: Optional[np.ndarray] = None
 
     def __len__(self):
         return len(self.pos)
@@ -256,6 +261,8 @@ def _read_bam_native(path: str, *, tid: Optional[int],
             cigar_ops=arr(data.cigar_ops, n_cig, np.int8),
             cigar_lens=arr(data.cigar_lens, n_cig, np.int32),
             cigar_offsets=coff if n else np.array([0], np.int64),
+            pair_hash=arr(data.pair_hash, n, np.uint64),
+            mate_code=arr(data.mate_code, n, np.int8),
         )
         return header, cols
     finally:

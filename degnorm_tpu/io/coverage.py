@@ -1,11 +1,14 @@
-"""Per-(sample, chromosome) coverage + read counting, vectorized.
+"""Per-(sample, chromosome) coverage + read counting, fully vectorized.
 
 Re-design of the reference ETL hot loop
 (``reads.py:314-818``, SURVEY.md §3.4): the reference walks reads in pure
 Python, regex-parsing each CIGAR and filling chromosome-length indicator
 vectors per read.  Here the columnar arrays from io/bam.py flow through
-numpy primitives — flattened-CIGAR cumulative sums for segment bounds,
-prefix sums for exon-membership tests, key-dedup + bincount for coverage.
+numpy primitives end-to-end — flattened-CIGAR cumulative sums for segment
+bounds, reduceat for per-pair extrema, prefix sums for exon-membership
+tests, repeat/cumsum expansion for coverage fills, and key-dedup bincounts
+for the fancy-assignment increment semantics.  No per-read Python loop
+remains.
 
 Two CIGAR conventions are supported (``compat``):
 
@@ -51,6 +54,37 @@ class ChromCoverage:
     read_counts: Dict[str, int]                  # gene -> count
 
 
+@dataclasses.dataclass
+class _Units:
+    """Flat segment representation of counting units (reads or merged
+    pairs).  Segments of unit i live at rows [offsets[i], offsets[i+1])."""
+    seg_start: np.ndarray
+    seg_end: np.ndarray
+    seg_unit: np.ndarray
+    offsets: np.ndarray
+    pos: np.ndarray          # unit anchor position (kept read's pos)
+    end_pos: np.ndarray
+    # True where the unit's segments may contain duplicate positions
+    # (compat-mode mate clipping); such units take the dedup path.
+    dirty: np.ndarray
+
+    @property
+    def n(self) -> int:
+        return len(self.pos)
+
+    def subset(self, unit_mask: np.ndarray) -> "_Units":
+        seg_keep = unit_mask[self.seg_unit]
+        counts = np.diff(self.offsets)[unit_mask]
+        new_unit = np.repeat(np.arange(int(unit_mask.sum())), counts)
+        return _Units(
+            seg_start=self.seg_start[seg_keep],
+            seg_end=self.seg_end[seg_keep],
+            seg_unit=new_unit,
+            offsets=np.concatenate([[0], np.cumsum(counts)]),
+            pos=self.pos[unit_mask], end_pos=self.end_pos[unit_mask],
+            dirty=self.dirty[unit_mask])
+
+
 # ---------------------------------------------------------------------------
 # segment extraction
 # ---------------------------------------------------------------------------
@@ -83,86 +117,152 @@ def read_match_segments(cols: ReadColumns, compat: str = "reference"
         is_match = MATCH_OP[ops].astype(bool)
         end_adv = consumed
 
-    # within-read exclusive prefix of consumed lengths
-    cum = np.cumsum(consumed)
-    base = np.zeros(n_reads + 1, dtype=np.int64)
-    np.add.at(base, op_read + 1, consumed)
-    read_start_cum = np.cumsum(base)[:-1]            # total before each read
-    within = (cum - consumed) - read_start_cum[op_read]
+    # within-read exclusive prefix of consumed lengths, via boundary gathers
+    cum0 = np.concatenate([[0], np.cumsum(consumed)])
+    read_start_cum = cum0[cols.cigar_offsets[:-1]]   # total before each read
+    within = cum0[:-1] - read_start_cum[op_read]
 
     seg_read = op_read[is_match]
     seg_start = cols.pos.astype(np.int64)[seg_read] + within[is_match]
     seg_end = seg_start + lens[is_match] - 1         # inclusive
 
-    totals = np.zeros(n_reads, dtype=np.int64)
-    np.add.at(totals, op_read, end_adv)
+    adv0 = np.concatenate([[0], np.cumsum(end_adv)])
+    totals = adv0[cols.cigar_offsets[1:]] - adv0[cols.cigar_offsets[:-1]]
     end_pos = cols.pos.astype(np.int64) + totals
     return seg_read, seg_start, seg_end, end_pos
 
 
-def _segments_by_read(seg_read, seg_start, seg_end, n_reads):
-    """Group flat segments into per-read (starts, ends) via offsets."""
-    counts = np.bincount(seg_read, minlength=n_reads)
-    offsets = np.concatenate([[0], np.cumsum(counts)])
-    return counts, offsets
-
-
 def unpaired_qnames(qnames: np.ndarray) -> np.ndarray:
-    """Strip the trailing '.1'/'.2' mate token (reads.py:258)."""
-    return np.array(["." .join(q.split(".")[:-1]) for q in qnames],
-                    dtype=object)
+    """Strip the trailing '.1'/'.2' mate token (reads.py:258),
+    vectorized through pandas string kernels."""
+    if len(qnames) == 0:
+        return np.array([], dtype=object)
+    s = pd.Series(qnames, dtype=object)
+    return s.str.rpartition(".")[0].to_numpy(dtype=object)
 
 
-def pair_and_merge_bounds(
-    seg_read: np.ndarray, seg_start: np.ndarray, seg_end: np.ndarray,
-    order: np.ndarray, compat: str = "reference",
-) -> Tuple[np.ndarray, List[np.ndarray]]:
-    """Merge mate bounds for consecutive read pairs.
+def _gather_read_segments(seg_start, seg_end, offsets, reads):
+    """Flat (starts, ends, owner_index) for the given read ids, in order."""
+    counts = (offsets[reads + 1] - offsets[reads]).astype(np.int64)
+    total = int(counts.sum())
+    owner = np.repeat(np.arange(len(reads)), counts)
+    base = np.repeat(offsets[reads], counts)
+    within = np.arange(total) - np.repeat(
+        np.cumsum(counts) - counts, counts)
+    rows = base + within
+    return seg_start[rows], seg_end[rows], owner, counts
 
-    ``order`` lists read indices sorted by unpaired qname (stable), taken
-    two at a time (reads.py:450-470).  Returns (kept read index of each
-    pair = the SECOND mate, list of merged flat bounds arrays
-    [s1,e1,s2,e2,...] per pair).
 
-    compat="reference" replicates the clip-to-scalar disjointification
-    (including phantom 1-base segments); "strict" computes the true union.
-    """
-    n_reads = int(seg_read.max()) + 1 if len(seg_read) else 0
-    counts, offsets = _segments_by_read(seg_read, seg_start, seg_end,
-                                        max(n_reads, (order.max() + 1) if order.size else 0))
-    merged: List[np.ndarray] = []
-    kept: List[int] = []
-    for k in range(0, len(order) - 1, 2):
-        r1, r2 = order[k], order[k + 1]
-        s1 = seg_start[offsets[r1]:offsets[r1 + 1]]
-        e1 = seg_end[offsets[r1]:offsets[r1 + 1]]
-        s2 = seg_start[offsets[r2]:offsets[r2 + 1]]
-        e2 = seg_end[offsets[r2]:offsets[r2 + 1]]
-        b1 = np.empty(2 * len(s1), np.int64)
-        b1[0::2], b1[1::2] = s1, e1
-        b2 = np.empty(2 * len(s2), np.int64)
-        b2[0::2], b2[1::2] = s2, e2
-        if compat == "reference":
-            if len(b1) and len(b2):
-                max1, min1 = b1.max(), b1.min()
-                if b2.max() >= max1:
-                    b2 = np.where(b2 <= max1, max1 + 1, b2)
-                else:
-                    b2 = np.sort(np.where(b2 >= min1, min1 - 1, b2))
-            bounds = np.concatenate([b1, b2])
-        else:
-            iv = sorted(zip(
-                np.concatenate([s1, s2]), np.concatenate([e1, e2])))
-            out = []
-            for s, e in iv:
-                if out and s <= out[-1][1] + 1:
-                    out[-1][1] = max(out[-1][1], e)
-                else:
-                    out.append([s, e])
-            bounds = np.array([v for se in out for v in se], np.int64)
-        merged.append(bounds)
-        kept.append(r2)
-    return np.array(kept, dtype=np.int64), merged
+def build_units(cols: ReadColumns, seg_read, seg_start, seg_end, end_pos,
+                keep: np.ndarray, paired: bool,
+                uq_codes: Optional[np.ndarray], compat: str) -> _Units:
+    """Assemble counting units from kept reads, merging mate bounds for
+    pairs (reference reads.py:450-523, fully vectorized).
+
+    ``uq_codes``: factorized unpaired-qname codes; pairs are grouped by
+    code with a stable sort — pairing is identical to the reference's
+    lexicographic sort (groups are independent, within-group order is file
+    order either way)."""
+    n_reads = len(cols)
+    counts_all = np.bincount(seg_read, minlength=n_reads).astype(np.int64)
+    offsets_all = np.concatenate([[0], np.cumsum(counts_all)])
+
+    if not paired:
+        reads = np.flatnonzero(keep)
+        s, e, owner, counts = _gather_read_segments(
+            seg_start, seg_end, offsets_all, reads)
+        return _Units(seg_start=s, seg_end=e, seg_unit=owner,
+                      offsets=np.concatenate([[0], np.cumsum(counts)]),
+                      pos=cols.pos[reads].astype(np.int64),
+                      end_pos=end_pos[reads],
+                      dirty=np.zeros(len(reads), bool))
+
+    live = np.flatnonzero(keep)
+    order = live[np.argsort(uq_codes[live], kind="stable")]
+    r1, r2 = order[0::2], order[1::2]
+    n_pairs = len(r2)
+    if n_pairs == 0:
+        return _Units(*(np.empty(0, np.int64),) * 3,
+                      offsets=np.array([0], np.int64),
+                      pos=np.empty(0, np.int64),
+                      end_pos=np.empty(0, np.int64),
+                      dirty=np.empty(0, bool))
+
+    # mate extrema: cigar segments ascend, so min/max are the flat ends
+    min1 = seg_start[offsets_all[r1]]
+    max1 = seg_end[offsets_all[r1 + 1] - 1]
+
+    s1, e1, own1, cnt1 = _gather_read_segments(
+        seg_start, seg_end, offsets_all, r1)
+    s2, e2, own2, cnt2 = _gather_read_segments(
+        seg_start, seg_end, offsets_all, r2)
+
+    if compat == "reference":
+        # clip-to-scalar disjointification (reads.py:459-467), applied to
+        # the flat [s,e,s,e,...] endpoint list of mate 2
+        max2 = seg_end[offsets_all[r2 + 1] - 1]
+        fwd = max2 >= max1                      # per pair
+        fwd_s = fwd[own2]
+        lo1_s = min1[own2]
+        hi1_s = max1[own2]
+        vs = np.where(fwd_s, np.where(s2 <= hi1_s, hi1_s + 1, s2),
+                      np.where(s2 >= lo1_s, lo1_s - 1, s2))
+        ve = np.where(fwd_s, np.where(e2 <= hi1_s, hi1_s + 1, e2),
+                      np.where(e2 >= lo1_s, lo1_s - 1, e2))
+        seg_clipped = (vs != s2) | (ve != e2)
+        pair_dirty = np.bincount(own2[seg_clipped],
+                                 minlength=n_pairs).astype(bool)
+        # backward case: the reference sorts the flat endpoint list and
+        # re-pairs consecutive values (reads.py:466-467)
+        if (~fwd).any():
+            bwd_seg = ~fwd_s
+            flat_pair = np.repeat(own2[bwd_seg], 2)
+            flat_val = np.empty(2 * int(bwd_seg.sum()), np.int64)
+            flat_val[0::2] = vs[bwd_seg]
+            flat_val[1::2] = ve[bwd_seg]
+            srt = np.lexsort((flat_val, flat_pair))
+            flat_sorted = flat_val[srt]
+            vs = vs.copy()
+            ve = ve.copy()
+            vs[bwd_seg] = flat_sorted[0::2]
+            ve[bwd_seg] = flat_sorted[1::2]
+        s2, e2 = vs, ve
+    else:
+        # true interval union of both mates, per pair
+        sa = np.concatenate([s1, s2])
+        ea = np.concatenate([e1, e2])
+        pa = np.concatenate([own1, own2])
+        srt = np.lexsort((sa, pa))
+        sa, ea, pa = sa[srt], ea[srt], pa[srt]
+        new_run = np.ones(len(sa), bool)
+        run_end = np.maximum.accumulate(ea)
+        new_run[1:] = (pa[1:] != pa[:-1]) | (sa[1:] > run_end[:-1] + 1)
+        run_id = np.cumsum(new_run) - 1
+        ms = sa[new_run]
+        me = np.maximum.accumulate(ea)  # recompute within runs below
+        # per-run max end via reduceat
+        run_starts = np.flatnonzero(new_run)
+        me = np.maximum.reduceat(ea, run_starts)
+        mp = pa[new_run]
+        cnt = np.bincount(mp, minlength=n_pairs)
+        return _Units(seg_start=ms, seg_end=me, seg_unit=mp,
+                      offsets=np.concatenate([[0], np.cumsum(cnt)]),
+                      pos=cols.pos[r2].astype(np.int64),
+                      end_pos=end_pos[r2],
+                      dirty=np.zeros(n_pairs, bool))
+
+    # merged = mate1 segments then transformed mate2 segments, per pair
+    s = np.concatenate([s1, s2])
+    e = np.concatenate([e1, e2])
+    owner = np.concatenate([own1, own2])
+    mate2 = np.concatenate([np.zeros(len(s1), bool), np.ones(len(s2), bool)])
+    srt = np.lexsort((mate2, owner))     # pair-major, mate1 first (stable)
+    s, e, owner = s[srt], e[srt], owner[srt]
+    cnt = cnt1 + cnt2
+    return _Units(seg_start=s, seg_end=e, seg_unit=owner,
+                  offsets=np.concatenate([[0], np.cumsum(cnt)]),
+                  pos=cols.pos[r2].astype(np.int64),
+                  end_pos=end_pos[r2], dirty=pair_dirty)
 
 
 # ---------------------------------------------------------------------------
@@ -188,6 +288,14 @@ def segments_fully_inside(P: np.ndarray, seg_start: np.ndarray,
     seg_end = np.clip(seg_end, seg_start, len(P) - 2)
     covered = P[seg_end + 1] - P[seg_start]
     return covered == (seg_end - seg_start + 1)
+
+
+def units_fully_inside(units: _Units, P: np.ndarray) -> np.ndarray:
+    """Per-unit AND of segment containment."""
+    seg_ok = segments_fully_inside(P, units.seg_start, units.seg_end)
+    out = np.ones(units.n, bool)
+    np.logical_and.at(out, units.seg_unit, seg_ok)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -218,15 +326,39 @@ def gene_exon_containment(exon_starts0: np.ndarray, exon_ends: np.ndarray,
     return ok
 
 
+def expand_segments(starts: np.ndarray, ends: np.ndarray,
+                    owner: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized fill: all positions of inclusive [start, end] segments.
+
+    Returns (positions, owner_per_position)."""
+    lens = (ends - starts + 1).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    base = np.repeat(starts, lens)
+    within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    return base + within, np.repeat(owner, lens)
+
+
 def coverage_increment(cov: np.ndarray, positions: np.ndarray,
-                       read_ids: np.ndarray, modulus: int) -> None:
-    """cov[positions] += 1 per read with fancy-assignment dedup semantics:
-    duplicate positions within one read count once (reads.py:617,773).
-    ``positions`` may contain negative indices (compat -1 wrap)."""
+                       owner: np.ndarray, modulus: int,
+                       owner_dirty: Optional[np.ndarray] = None) -> None:
+    """cov[positions] += 1 per owner with fancy-assignment dedup semantics:
+    duplicate positions within one owner count once (reads.py:617,773).
+    ``positions`` may contain negative indices (compat -1 wrap).
+
+    Units flagged dirty in ``owner_dirty`` go through a sort-based dedup;
+    the rest (segments provably disjoint) take a plain bincount."""
     wrapped = np.where(positions < 0, positions + modulus, positions)
-    key = read_ids.astype(np.int64) * modulus + wrapped
-    uniq = np.unique(key)
-    np.add.at(cov, (uniq % modulus).astype(np.int64), 1)
+    if owner_dirty is not None and owner_dirty.any():
+        is_dirty = owner_dirty[owner]
+        key = owner[is_dirty].astype(np.int64) * modulus + wrapped[is_dirty]
+        uniq = np.unique(key)
+        np.add.at(cov, (uniq % modulus).astype(np.int64), 1)
+        wrapped = wrapped[~is_dirty]
+    if len(wrapped):
+        cov += np.bincount(wrapped, minlength=modulus)[:modulus].astype(
+            cov.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -252,71 +384,47 @@ def chromosome_coverage_read_counts(
     gene_end0 = chrom_gene_df.gene_end.values.astype(np.int64) - 1
     read_counts: Dict[str, int] = {g: 0 for g in genes}
 
+    if len(cols) == 0 or len(genes) == 0:
+        iso = (np.zeros(chrom_len, np.int64)
+               if overlap_dat.get("isolated_genes") else None)
+        return ChromCoverage(chrom=chrom, isolated_coverage=iso,
+                             overlap_coverage={}, read_counts=read_counts)
+
     # ---- step 0: alignment-level filters (reads.py:225-242) ----
     keep = np.ones(len(cols), dtype=bool)
     if unique_alignment:
         keep &= ~(cols.nh > 1)
     if paired:
         keep &= cols.rnext != -1
-    idx_all = np.flatnonzero(keep)
 
     # ---- step 1: match segments, span filter (reads.py:404-420) ----
     seg_read, seg_start, seg_end, end_pos = read_match_segments(
         cols, compat=compat)
-    span_ok = ((cols.pos >= gene_start0.min())
-               & (end_pos <= gene_end0.max()))
-    keep &= span_ok
+    keep &= ((cols.pos >= gene_start0.min())
+             & (end_pos <= gene_end0.max()))
 
+    uq_codes = None
     if paired:
-        uq = unpaired_qnames(cols.qnames)
-        uq_keep = uq[keep]
-        vals, cnts = np.unique(uq_keep, return_counts=True)
-        twice = set(vals[cnts == 2])
-        keep &= np.array([q in twice for q in uq], dtype=bool)
+        if cols.pair_hash is not None:
+            # native reader precomputed the pairing hash — integer
+            # factorization only
+            _, uq_codes = np.unique(cols.pair_hash, return_inverse=True)
+        else:
+            uq = unpaired_qnames(cols.qnames)
+            uq_codes, _ = pd.factorize(uq)       # hash-based, O(n)
+        cnts = np.bincount(uq_codes[keep], minlength=int(uq_codes.max()) + 1)
+        keep &= cnts[uq_codes] == 2
+
+    units = build_units(cols, seg_read, seg_start, seg_end, end_pos,
+                        keep, paired, uq_codes, compat)
 
     # ---- step 2: exon-union membership (reads.py:425-511) ----
     P_exon = interval_indicator_prefix(
         chrom_len,
         chrom_exon_df.start.values.astype(np.int64) - 1,
         chrom_exon_df.end.values.astype(np.int64))
-
-    # per-"unit" bounds: a unit is a single read (single-end) or a merged
-    # pair; unit_bounds[i] is the flat [s,e,s,e,...] array.
-    if paired:
-        live = np.flatnonzero(keep)
-        uq_live = uq[live]
-        order_local = np.argsort(uq_live, kind="stable")
-        order = live[order_local]
-        kept_reads, unit_bounds = pair_and_merge_bounds(
-            seg_read, seg_start, seg_end, order, compat=compat)
-    else:
-        kept_reads = np.flatnonzero(keep)
-        counts_r, offsets_r = _segments_by_read(
-            seg_read, seg_start, seg_end, len(cols))
-        unit_bounds = []
-        for r in kept_reads:
-            b = np.empty(2 * counts_r[r], np.int64)
-            b[0::2] = seg_start[offsets_r[r]:offsets_r[r + 1]]
-            b[1::2] = seg_end[offsets_r[r]:offsets_r[r + 1]]
-            unit_bounds.append(b)
-
-    # drop units with any match base outside the exon union
-    flat_s = np.concatenate([b[0::2] for b in unit_bounds]) if unit_bounds \
-        else np.empty(0, np.int64)
-    flat_e = np.concatenate([b[1::2] for b in unit_bounds]) if unit_bounds \
-        else np.empty(0, np.int64)
-    flat_unit = np.repeat(np.arange(len(unit_bounds)),
-                          [len(b) // 2 for b in unit_bounds])
-    seg_ok = segments_fully_inside(P_exon, flat_s, flat_e)
-    unit_ok = np.ones(len(unit_bounds), dtype=bool)
-    np.logical_and.at(unit_ok, flat_unit, seg_ok)
-
-    kept_reads = kept_reads[unit_ok]
-    unit_bounds = [b for b, ok in zip(unit_bounds, unit_ok) if ok]
-    unit_end = end_pos[kept_reads] if len(kept_reads) else np.empty(0, np.int64)
-    unit_pos = cols.pos[kept_reads].astype(np.int64) if len(kept_reads) \
-        else np.empty(0, np.int64)
-    active = np.ones(len(unit_bounds), dtype=bool)
+    units = units.subset(units_fully_inside(units, P_exon))
+    active = np.ones(units.n, dtype=bool)
 
     # ---- step 3: overlap gene groups (reads.py:543-656) ----
     overlap_cov: Dict[str, np.ndarray] = {}
@@ -332,44 +440,51 @@ def chromosome_coverage_read_counts(
             gend0 = int(gex.gene_end.iloc[0]) - 1
             e_starts0 = np.sort(gex.start.values.astype(np.int64)) - 1
             e_ends = np.sort(gex.end.values.astype(np.int64))
-            tx_idx = np.unique(np.concatenate(
-                [np.arange(s, e) for s, e in zip(e_starts0, e_ends)]))
+            tx_idx = np.unique(expand_segments(
+                e_starts0, e_ends - 1, np.zeros(len(e_starts0), np.int64))[0])
             gene_info.append((g, gstart0, gend0, e_starts0, e_ends, tx_idx))
             overlap_cov[g] = np.zeros(gend0 - gstart0 + 1, dtype=np.int64)
 
-        in_grp = active & (unit_pos >= grp_start0) & (unit_end <= grp_end0)
-        grp_units = np.flatnonzero(in_grp)
-        if len(grp_units):
-            gs = np.concatenate([unit_bounds[u][0::2] for u in grp_units])
-            ge = np.concatenate([unit_bounds[u][1::2] for u in grp_units])
-            gu = np.repeat(np.arange(len(grp_units)),
-                           [len(unit_bounds[u]) // 2 for u in grp_units])
-            n_caught = np.zeros(len(grp_units), dtype=np.int64)
-            caught_gene = np.full(len(grp_units), -1, dtype=np.int64)
+        in_grp = active & (units.pos >= grp_start0) & (units.end_pos <= grp_end0)
+        if in_grp.any():
+            seg_in_grp = in_grp[units.seg_unit]
+            gs = units.seg_start[seg_in_grp]
+            ge = units.seg_end[seg_in_grp]
+            gu = units.seg_unit[seg_in_grp]
+
+            n_caught = np.zeros(units.n, dtype=np.int64)
+            caught_gene = np.full(units.n, -1, dtype=np.int64)
             for gi, (g, gstart0, gend0, es0, ee, tx) in enumerate(gene_info):
                 seg_in = gene_exon_containment(es0, ee, gs, ge, compat=compat)
-                unit_in = np.ones(len(grp_units), dtype=bool)
+                unit_in = in_grp.copy()
                 np.logical_and.at(unit_in, gu, seg_in)
                 n_caught += unit_in
                 caught_gene = np.where(unit_in & (n_caught == 1),
                                        gi, caught_gene)
-            single = n_caught == 1
-            for j in np.flatnonzero(single):
-                g, gstart0, gend0, es0, ee, tx = gene_info[caught_gene[j]]
-                b = unit_bounds[grp_units[j]]
-                pos_fill = np.concatenate(
-                    [np.arange(b[i], b[i + 1] + 1)
-                     for i in range(0, len(b), 2)])
-                L = len(overlap_cov[g])
-                # compat: -1 shift with wraparound (reads.py:615-617)
+            single = in_grp & (n_caught == 1)
+
+            # coverage + counts for singly-caught units: one expansion for
+            # the whole group, then per-gene slices
+            if single.any():
                 shift = 1 if compat == "reference" else 0
-                coverage_increment(
-                    overlap_cov[g], pos_fill - gstart0 - shift,
-                    np.zeros(len(pos_fill), np.int64), L)
-                read_counts[g] += 1
-            # drop units caught by exactly one gene or by 2+ genes
-            drop = single | (n_caught >= 2)
-            active[grp_units[drop]] = False
+                seg_single = single[units.seg_unit]
+                pos_fill, own_fill = expand_segments(
+                    units.seg_start[seg_single], units.seg_end[seg_single],
+                    units.seg_unit[seg_single])
+                gene_of_pos = caught_gene[own_fill]
+                for gi, (g, gstart0, gend0, es0, ee, tx) in enumerate(
+                        gene_info):
+                    m = gene_of_pos == gi
+                    if not m.any():
+                        continue
+                    coverage_increment(overlap_cov[g],
+                                       pos_fill[m] - gstart0 - shift,
+                                       own_fill[m], len(overlap_cov[g]),
+                                       owner_dirty=units.dirty)
+                    read_counts[g] += int((single
+                                           & (caught_gene == gi)).sum())
+
+            active &= ~(single | (in_grp & (n_caught >= 2)))
 
         for g, gstart0, gend0, es0, ee, tx in gene_info:
             overlap_cov[g] = overlap_cov[g][tx - gstart0]
@@ -387,33 +502,32 @@ def chromosome_coverage_read_counts(
         # read must lie fully in isolated-gene territory, checking one base
         # past its end (reads.py:697): [pos, end_pos] inclusive.
         u_ok = active & segments_fully_inside(
-            P_iso, unit_pos, np.minimum(unit_end, chrom_len - 1))
-        live_units = np.flatnonzero(u_ok)
+            P_iso, units.pos, np.minimum(units.end_pos, chrom_len - 1))
 
         iso_cov = np.zeros(chrom_len, dtype=np.int64)
-        if len(live_units):
+        if u_ok.any():
             so = np.argsort(iso_start0, kind="stable")
             st_sorted = iso_start0[so]
             en_sorted = (iso_end1 - 1)[so]
             gn_sorted = iso_genes[so]
-            gi = np.searchsorted(st_sorted, unit_pos[live_units],
-                                 side="right") - 1
-            valid = (gi >= 0) & (unit_pos[live_units]
-                                 <= en_sorted[np.clip(gi, 0, None)])
-            live_units = live_units[valid]
+            upos = units.pos[u_ok]
+            gi = np.searchsorted(st_sorted, upos, side="right") - 1
+            valid = (gi >= 0) & (upos <= en_sorted[np.clip(gi, 0, None)])
+            live = np.flatnonzero(u_ok)[valid]
             gi = gi[valid]
 
-            fills = [np.concatenate(
-                [np.arange(unit_bounds[u][i], unit_bounds[u][i + 1] + 1)
-                 for i in range(0, len(unit_bounds[u]), 2)])
-                for u in live_units]
-            if fills:
-                pos_all = np.concatenate(fills)
-                rid_all = np.repeat(np.arange(len(fills)),
-                                    [len(f) for f in fills])
-                coverage_increment(iso_cov, pos_all, rid_all, chrom_len)
-            for g_idx in gi:
-                read_counts[gn_sorted[g_idx]] += 1
+            live_mask = np.zeros(units.n, bool)
+            live_mask[live] = True
+            seg_live = live_mask[units.seg_unit]
+            pos_all, own_all = expand_segments(
+                units.seg_start[seg_live], units.seg_end[seg_live],
+                units.seg_unit[seg_live])
+            coverage_increment(iso_cov, pos_all, own_all, chrom_len,
+                               owner_dirty=units.dirty)
+
+            per_gene = np.bincount(gi, minlength=len(gn_sorted))
+            for j, g in enumerate(gn_sorted):
+                read_counts[g] += int(per_gene[j])
 
     return ChromCoverage(chrom=chrom, isolated_coverage=iso_cov,
                          overlap_coverage=overlap_cov,

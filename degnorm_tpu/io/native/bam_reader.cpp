@@ -84,6 +84,32 @@ T rd(const uint8_t* p) {
     return v;
 }
 
+// FNV-1a hash of the query name up to (excluding) its last '.', plus a
+// mate-suffix code: 1 for ".1", 2 for ".2", 0 otherwise.  Groups paired
+// reads without host-side string processing (reference reads.py:258
+// groups by the string prefix; a 64-bit hash is collision-safe at any
+// realistic read count).
+uint64_t pair_hash_and_suffix(const char* q, size_t len, int8_t* suffix) {
+    size_t dot = len;
+    for (size_t i = len; i > 0; i--) {
+        if (q[i - 1] == '.') { dot = i - 1; break; }
+    }
+    *suffix = 0;
+    if (dot + 2 == len) {
+        if (q[dot + 1] == '1') *suffix = 1;
+        else if (q[dot + 1] == '2') *suffix = 2;
+    }
+    // no dot: the reference's prefix is the empty string (reads.py:258
+    // with str.split) — hash nothing so all dotless names group together
+    size_t n = (dot == len) ? 0 : dot;
+    uint64_t h = 1469598103934665603ull;
+    for (size_t i = 0; i < n; i++) {
+        h ^= (uint8_t)q[i];
+        h *= 1099511628211ull;
+    }
+    return h;
+}
+
 // scan aux fields for NH:i (any integer subtype); 0 when absent
 int32_t parse_nh(const uint8_t* p, const uint8_t* end) {
     while (p + 3 <= end) {
@@ -144,6 +170,8 @@ struct DnBamData {
     int64_t* cigar_offsets;   // n_reads + 1
     char* qnames;             // concatenated, NUL-separated
     int64_t* qname_offsets;   // n_reads + 1
+    uint64_t* pair_hash;      // hash of qname sans trailing ".x"
+    int8_t* mate_code;        // 1 for ".1", 2 for ".2", 0 otherwise
     // header
     int32_t n_refs;
     char* ref_names;          // concatenated, NUL-separated
@@ -163,6 +191,7 @@ void dn_free_bam(DnBamData* d) {
     free(d->tid); free(d->pos); free(d->flag); free(d->rnext); free(d->nh);
     free(d->cigar_ops); free(d->cigar_lens); free(d->cigar_offsets);
     free(d->qnames); free(d->qname_offsets);
+    free(d->pair_hash); free(d->mate_code);
     free(d->ref_names); free(d->ref_lens);
     free(d->error);
     memset(d, 0, sizeof(*d));
@@ -240,7 +269,8 @@ int dn_read_bam(const char* path, int32_t tid_filter, int drop_unmapped,
     // ---- records ----
     std::vector<int32_t> tid_v, pos_v, rnext_v, nh_v, clens_v;
     std::vector<uint16_t> flag_v;
-    std::vector<int8_t> cops_v;
+    std::vector<int8_t> cops_v, mate_v;
+    std::vector<uint64_t> phash_v;
     std::vector<int64_t> coff_v{0}, qoff_v{0};
     std::string qnames;
     tid_v.reserve(1 << 20);
@@ -263,6 +293,10 @@ int dn_read_bam(const char* path, int32_t tid_filter, int drop_unmapped,
         const uint8_t* q = r + 32;
         qnames.append((const char*)q, l_read_name);   // includes NUL
         qoff_v.push_back((int64_t)qnames.size());
+        int8_t suffix = 0;
+        phash_v.push_back(pair_hash_and_suffix(
+            (const char*)q, (size_t)l_read_name - 1, &suffix));
+        mate_v.push_back(suffix);
         q += l_read_name;
         for (uint16_t c = 0; c < n_cigar; c++) {
             uint32_t v = rd<uint32_t>(q + 4ull * c);
@@ -296,6 +330,8 @@ int dn_read_bam(const char* path, int32_t tid_filter, int drop_unmapped,
     copy_out(clens_v, out->cigar_lens);
     copy_out(coff_v, out->cigar_offsets);
     copy_out(qoff_v, out->qname_offsets);
+    copy_out(phash_v, out->pair_hash);
+    copy_out(mate_v, out->mate_code);
     out->qnames = (char*)malloc(qnames.size());
     memcpy(out->qnames, qnames.data(), qnames.size());
     out->n_refs = n_ref;

@@ -33,6 +33,8 @@ class DnBamData(ctypes.Structure):
         ("cigar_offsets", ctypes.POINTER(ctypes.c_int64)),
         ("qnames", ctypes.POINTER(ctypes.c_char)),
         ("qname_offsets", ctypes.POINTER(ctypes.c_int64)),
+        ("pair_hash", ctypes.POINTER(ctypes.c_uint64)),
+        ("mate_code", ctypes.POINTER(ctypes.c_int8)),
         ("n_refs", ctypes.c_int32),
         ("ref_names", ctypes.POINTER(ctypes.c_char)),
         ("ref_names_bytes", ctypes.c_int64),
