@@ -23,6 +23,7 @@ P_SAMPLES = int(os.environ.get("BENCH_SAMPLES", 8))
 NMF_ITER = int(os.environ.get("BENCH_NMF_ITER", 50))
 DEGNORM_ITER = int(os.environ.get("BENCH_DEGNORM_ITER", 5))
 REF_GENES = int(os.environ.get("BENCH_REF_GENES", 12))
+SKIP_BS = os.environ.get("BENCH_SKIP_BS", "0") == "1"
 
 
 def synth_dataset(n, p, seed=7):
@@ -86,7 +87,8 @@ def main():
     from degnorm_tpu.engine import DegNormEngine
 
     cov, X = synth_dataset(N_GENES, P_SAMPLES)
-    nmf_cfg = NMFConfig(nmf_iter=NMF_ITER, degnorm_iter=DEGNORM_ITER)
+    nmf_cfg = NMFConfig(nmf_iter=NMF_ITER, degnorm_iter=DEGNORM_ITER,
+                        skip_baseline_selection=SKIP_BS)
     eng_cfg = EngineConfig(bucket_widths=(1024, 4096))
 
     # warm-up: compile every bucket shape with a 1-iteration config

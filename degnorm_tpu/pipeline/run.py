@@ -100,7 +100,7 @@ def run_pipeline(cfg: PipelineConfig, output_dir: Optional[str] = None,
     # ---- the device loop ----
     engine = DegNormEngine(cfg.nmf, cfg.engine, mesh=mesh)
     counts = read_count_df[sample_ids].values.astype(np.float64)
-    result = engine.run(gene_cov_dict, counts)
+    result = engine.run(gene_cov_dict, counts, checkpoint_dir=output_dir)
 
     # ---- outputs (reference nmf.py:603-711 contract) ----
     gene_chrom = dict(zip(genes_df.gene, genes_df.chr))

@@ -87,6 +87,12 @@ def test_pipeline_end_to_end(dataset, tmp_path):
     counts = pd.read_csv(os.path.join(out, "read_counts.csv"))
     assert (counts[["sample0", "sample1"]].values.sum(axis=1) > 0).any()
 
+    # summary report rendered
+    assert os.path.isfile(os.path.join(out, "report",
+                                       "degnorm_summary.html"))
+    # per-iteration checkpoint written
+    assert os.path.isfile(os.path.join(out, "degnorm_checkpoint.npz"))
+
 
 def test_pipeline_warm_start(dataset, tmp_path):
     out1 = run_cli(dataset, tmp_path / "first")
