@@ -123,6 +123,10 @@ class PipelineConfig:
     max_gene_length: int = 9_000_000
     max_coverage: float = float(2 ** 31)
     unique_alignments: bool = True
+    # CIGAR/pairing semantics: "reference" reproduces the reference
+    # implementation's parser quirks exactly (needed for bitwise coverage
+    # parity); "strict" follows the SAM spec (io/coverage.py docstring).
+    cigar_compat: str = "reference"
     n_jobs: int = 1
     nmf: NMFConfig = dataclasses.field(default_factory=NMFConfig)
     engine: EngineConfig = dataclasses.field(default_factory=EngineConfig)

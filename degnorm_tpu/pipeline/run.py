@@ -146,7 +146,8 @@ def _cold_start(cfg: PipelineConfig, output_dir: str):
         raise ValueError("no genome annotation (.gtf) supplied")
 
     samples = [BamSampleProcessor(b, unique_alignment=cfg.unique_alignments,
-                                  output_dir=output_dir)
+                                  output_dir=output_dir,
+                                  compat=cfg.cigar_compat)
                for b in cfg.bam_files]
     sample_ids = [s.sample_id for s in samples]
     if len(set(sample_ids)) < len(sample_ids):

@@ -23,10 +23,12 @@ class BamSampleProcessor:
     coverage + read counts."""
 
     def __init__(self, bam_file: str, chroms: Optional[Sequence[str]] = None,
-                 unique_alignment: bool = True, output_dir: Optional[str] = None):
+                 unique_alignment: bool = True, output_dir: Optional[str] = None,
+                 compat: str = "reference"):
         self.filename = bam_file
         self.sample_id = ".".join(os.path.basename(bam_file).split(".")[:-1])
         self.unique_alignment = unique_alignment
+        self.compat = compat
         self.output_dir = output_dir
         self.save_dir = (os.path.join(output_dir, self.sample_id)
                          if output_dir else None)
@@ -73,7 +75,7 @@ class BamSampleProcessor:
         return chromosome_coverage_read_counts(
             cols, chrom, chrom_len, chrom_gene_df, chrom_exon_df,
             overlap_dat, paired=self.paired,
-            unique_alignment=self.unique_alignment)
+            unique_alignment=self.unique_alignment, compat=self.compat)
 
     def coverage_read_counts(self, overlap_by_chrom: Mapping[str, dict],
                              gene_df: pd.DataFrame, exon_df: pd.DataFrame,
@@ -159,6 +161,8 @@ def _subset_cols(cols: bamio.ReadColumns, mask: np.ndarray) -> bamio.ReadColumns
         cigar_ops=cols.cigar_ops[keep_ops],
         cigar_lens=cols.cigar_lens[keep_ops],
         cigar_offsets=np.concatenate([[0], np.cumsum(new_counts)]),
+        pair_hash=(None if cols.pair_hash is None else cols.pair_hash[idx]),
+        mate_code=(None if cols.mate_code is None else cols.mate_code[idx]),
     )
 
 
