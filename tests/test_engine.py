@@ -62,3 +62,19 @@ def test_engine_input_validation():
         eng.run(cov, X[:2])
     with pytest.raises(ValueError):
         DegNormEngine(NMFConfig(downsample_rate=10**6)).run(cov, X)
+
+
+def test_engine_multi_chunk_buckets():
+    """Buckets above max_genes_per_batch split into multiple device
+    batches; results must match the unchunked run exactly."""
+    cov, X = make_dataset(seed=33, n=13)
+    cfg = NMFConfig(nmf_iter=5, degnorm_iter=2)
+    base = dict(rank1_method="power", dtype="float64",
+                bucket_widths=(1024,))
+    r1 = DegNormEngine(cfg, EngineConfig(**base)).run(cov, X)
+    r2 = DegNormEngine(cfg, EngineConfig(
+        **base, max_genes_per_batch=4)).run(cov, X)
+    np.testing.assert_allclose(r2.rho, r1.rho, rtol=1e-12)
+    np.testing.assert_allclose(r2.x_adj, r1.x_adj, rtol=1e-12)
+    for a, b in zip(r2.estimates(), r1.estimates()):
+        np.testing.assert_allclose(a, b, rtol=1e-10)
