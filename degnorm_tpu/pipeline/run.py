@@ -167,13 +167,27 @@ def _cold_start(cfg: PipelineConfig, output_dir: str):
     overlap_by_chrom = {
         c: overlap_structure(gene_df[gene_df.chr == c]) for c in used_chroms}
 
-    results = {}
-    for s in samples:
+    # samples in parallel host threads (BGZF/BAM decode is native and
+    # releases the GIL); each sample additionally threads over chromosomes
+    from concurrent.futures import ThreadPoolExecutor
+
+    def etl(s: BamSampleProcessor):
         s.chroms = used_chroms
         log.info("SAMPLE %s: computing coverage/read counts (%s)",
                  s.sample_id, "paired" if s.paired else "single-end")
-        results[s.sample_id] = s.coverage_read_counts(
+        return s.sample_id, s.coverage_read_counts(
             overlap_by_chrom, gene_df, exon_df, n_jobs=cfg.n_jobs)
+
+    results = {}
+    if cfg.n_jobs > 1 and len(samples) > 1:
+        with ThreadPoolExecutor(
+                max_workers=min(cfg.n_jobs, len(samples))) as ex:
+            for sid, r in ex.map(etl, samples):
+                results[sid] = r
+    else:
+        for s in samples:
+            sid, r = etl(s)
+            results[sid] = r
 
     read_count_df = merge_read_counts(results, sample_ids, used_chroms)
     gene_cov_dict = merge_coverage(results, sample_ids, exon_df)
