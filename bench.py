@@ -100,6 +100,9 @@ def main():
     engine.run(cov, X)
     dt = time.perf_counter() - t0
     ours = N_GENES * DEGNORM_ITER / dt
+    print(f"[bench] engine timings: "
+          f"{ {k: round(v, 2) for k, v in engine.timings.items()} }",
+          file=sys.stderr)
 
     try:
         ref = time_reference(cov, X, REF_GENES)
