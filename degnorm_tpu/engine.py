@@ -191,6 +191,7 @@ class DegNormEngine:
         t0 = _time.perf_counter()
         with prof:
             for it in range(start_iter, self.nmf_cfg.degnorm_iter):
+                t_it = _time.perf_counter()
                 rho_raw = np.zeros((n, p))
                 results: List[BucketResult] = []
                 sf = jnp.asarray(state.scale_factors, dtype)
@@ -205,6 +206,7 @@ class DegNormEngine:
                     scatter_rows(ran_bs[:, it], np.asarray(res.ran_bs),
                                  b.gene_indices)
                 state = outer.iteration_update(state, rho_raw)
+                self.timings[f"iter_{it}"] = _time.perf_counter() - t_it
                 if checkpoint_dir:
                     from degnorm_tpu.pipeline.checkpoints import (
                         save_checkpoint)
