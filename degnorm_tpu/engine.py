@@ -18,7 +18,7 @@ Execution model (SURVEY.md §7.1-7.2):
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Mapping, Optional, Sequence
+from typing import List, Mapping, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

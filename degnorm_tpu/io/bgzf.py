@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import struct
 import zlib
-from typing import Iterator, Tuple
+from typing import Tuple
 
 # canonical 28-byte BGZF EOF block (SAM spec §4.1.2)
 BGZF_EOF = bytes.fromhex(

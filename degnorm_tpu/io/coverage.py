@@ -37,7 +37,7 @@ SURVEY.md §7.2 so they're deliberate, not accidental):
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 import pandas as pd

@@ -21,7 +21,6 @@ import os
 from typing import Optional
 
 import jax
-import numpy as np
 
 from degnorm_tpu.parallel.sharded import make_mesh
 

@@ -13,12 +13,11 @@ import shutil
 import sys
 from collections import OrderedDict
 from datetime import datetime
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
-import pandas as pd
 
-from degnorm_tpu.config import EngineConfig, NMFConfig, PipelineConfig
+from degnorm_tpu.config import PipelineConfig
 from degnorm_tpu.engine import DegNormEngine
 from degnorm_tpu.io.gtf import process_annotation
 from degnorm_tpu.io.merge import merge_coverage, merge_read_counts

@@ -11,7 +11,7 @@ import os
 import shutil
 import subprocess
 from datetime import datetime
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 import pandas as pd

@@ -7,7 +7,7 @@ API mirrors reference ``visualizations.py`` (SURVEY.md §2.1 #12):
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Union
+from typing import Sequence, Union
 
 import matplotlib
 matplotlib.use("agg")
