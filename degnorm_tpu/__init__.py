@@ -10,3 +10,16 @@ device meshes replacing the reference's MPI layer.
 __version__ = "0.1.0"
 
 from degnorm_tpu.config import NMFConfig, EngineConfig, PipelineConfig  # noqa: F401
+
+
+def run_pipeline(*args, **kwargs):
+    """Convenience re-export of pipeline.run.run_pipeline (lazy import so
+    that `import degnorm_tpu` stays light)."""
+    from degnorm_tpu.pipeline.run import run_pipeline as _rp
+    return _rp(*args, **kwargs)
+
+
+def DegNormEngine(*args, **kwargs):
+    """Convenience constructor re-export (lazy import)."""
+    from degnorm_tpu.engine import DegNormEngine as _E
+    return _E(*args, **kwargs)

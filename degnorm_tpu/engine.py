@@ -193,14 +193,16 @@ class DegNormEngine:
             for it in range(start_iter, self.nmf_cfg.degnorm_iter):
                 t_it = _time.perf_counter()
                 rho_raw = np.zeros((n, p))
-                results: List[BucketResult] = []
                 sf = jnp.asarray(state.scale_factors, dtype)
-                for b, F_d, m_d in zip(self._buckets, self._device_F,
-                                       self._device_mask):
-                    res = _bucket_step(F_d, m_d, sf, self._ds_starts(b, it),
-                                       self.nmf_cfg.kernel_key(),
-                                       self.eng_cfg)
-                    results.append(res)
+                # dispatch every bucket first (async), then materialize —
+                # device execution and host transfers pipeline across
+                # buckets instead of round-tripping one at a time
+                results: List[BucketResult] = [
+                    _bucket_step(F_d, m_d, sf, self._ds_starts(b, it),
+                                 self.nmf_cfg.kernel_key(), self.eng_cfg)
+                    for b, F_d, m_d in zip(self._buckets, self._device_F,
+                                           self._device_mask)]
+                for b, res in zip(self._buckets, results):
                     scatter_rows(rho_raw, np.asarray(res.rho, np.float64),
                                  b.gene_indices)
                     scatter_rows(ran_bs[:, it], np.asarray(res.ran_bs),
