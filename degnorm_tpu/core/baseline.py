@@ -93,6 +93,7 @@ def baseline_select_bucket(
     nmf_cfg: NMFConfig,
     eng_cfg: EngineConfig,
     ds_start: Optional[jnp.ndarray] = None,
+    with_estimates: bool = True,
 ) -> BucketResult:
     """Run baseline selection for every gene in a padded bucket.
 
@@ -283,14 +284,18 @@ def baseline_select_bucket(
     L = jnp.sum(len_mask, axis=1).astype(jnp.int32)
     needs_fw = (~bailed) & (n_hi < L)
     Kq2 = _floor_abs_k(K_fin)
-    E_fw = _envelope(F, Kq2, lm_f)
-
     est_K = jnp.where(needs_fw[:, None], Kq2, K_fin)
-    est_E = jnp.where(needs_fw[:, None], E_fw, E_fin)
     est_kind = jnp.where(
         bailed, EST_INPUT,
         jnp.where(needs_fw | use_revert, EST_CLIP, EST_RAW)
     ).astype(jnp.int8)
+    if with_estimates:
+        E_fw = _envelope(F, Kq2, lm_f)
+        est_E = jnp.where(needs_fw[:, None], E_fw, E_fin)
+    else:
+        # intermediate iterations only consume rho/flags; returning a
+        # zero-width E avoids shipping a (G, W) array off-device per call
+        est_E = jnp.zeros((G, 0), dtype)
 
     return BucketResult(rho=rho_out, ran_bs=st.ran_bs, est_K=est_K,
                         est_E=est_E, est_kind=est_kind, bailed=bailed,

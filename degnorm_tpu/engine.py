@@ -32,14 +32,19 @@ from degnorm_tpu.core.nmf import ratio_svd_rowsums
 from degnorm_tpu.data.buckets import GeneBucket, pack_buckets, scatter_rows
 
 
-@functools.partial(jax.jit, static_argnames=("nmf_cfg", "eng_cfg"))
+@functools.partial(jax.jit,
+                   static_argnames=("nmf_cfg", "eng_cfg", "with_estimates"))
 def _bucket_step(F, len_mask, scale_factors, ds_start, nmf_cfg: NMFConfig,
-                 eng_cfg: EngineConfig) -> BucketResult:
+                 eng_cfg: EngineConfig,
+                 with_estimates: bool = True) -> BucketResult:
     """One DegNorm iteration's device work for one bucket: scale-adjust the
-    coverage (nmf.py:142-146,563) then run batched baseline selection."""
+    coverage (nmf.py:142-146,563) then run batched baseline selection.
+    ``with_estimates=False`` skips the (G, W) estimate factor output —
+    intermediate iterations only need DI scores."""
     F_adj = F / scale_factors[None, :, None]
     return baseline_select_bucket(F_adj, len_mask, nmf_cfg, eng_cfg,
-                                  ds_start=ds_start)
+                                  ds_start=ds_start,
+                                  with_estimates=with_estimates)
 
 
 @functools.partial(jax.jit, static_argnames=("eng_cfg",))
@@ -197,9 +202,11 @@ class DegNormEngine:
                 # dispatch every bucket first (async), then materialize —
                 # device execution and host transfers pipeline across
                 # buckets instead of round-tripping one at a time
+                final = it == self.nmf_cfg.degnorm_iter - 1
                 results: List[BucketResult] = [
                     _bucket_step(F_d, m_d, sf, self._ds_starts(b, it),
-                                 self.nmf_cfg.kernel_key(), self.eng_cfg)
+                                 self.nmf_cfg.kernel_key(), self.eng_cfg,
+                                 with_estimates=final)
                     for b, F_d, m_d in zip(self._buckets, self._device_F,
                                            self._device_mask)]
                 for b, res in zip(self._buckets, results):
