@@ -24,7 +24,8 @@ class SimGene:
 
 def make_genes(rng, chrom: str = "chr1", n_genes: int = 8,
                start: int = 1000, spacing: int = 3000,
-               overlap_fraction: float = 0.2) -> List[SimGene]:
+               overlap_fraction: float = 0.2,
+               name_prefix: str = "") -> List[SimGene]:
     genes = []
     pos = start
     for i in range(n_genes):
@@ -35,7 +36,7 @@ def make_genes(rng, chrom: str = "chr1", n_genes: int = 8,
             length = int(rng.integers(150, 600))
             exons.append((p, p + length - 1))
             p += length + int(rng.integers(100, 400))
-        genes.append(SimGene(f"gene{i:03d}", chrom, exons))
+        genes.append(SimGene(f"{name_prefix}gene{i:03d}", chrom, exons))
         if rng.random() < overlap_fraction and exons:
             pos = exons[-1][0] - int(rng.integers(0, 100))  # overlap next
             pos = max(pos, exons[0][0] + 10)
@@ -103,3 +104,21 @@ def write_sample_bam(path: str, genes: Sequence[SimGene], chrom_len: int,
     chrom = genes[0].chrom
     recs = simulate_sample(rng, genes, chrom_len, **kwargs)
     bamio.write_bam(path, [chrom], [chrom_len], recs)
+
+
+def write_multichrom_bam(path: str, genes_by_chrom, chrom_lens,
+                         seed: int = 0, **kwargs) -> None:
+    """Multi-chromosome BAM: genes_by_chrom is {chrom: [SimGene...]},
+    chrom_lens {chrom: length}; records are emitted per chromosome in
+    header order (coordinate-sorted within each)."""
+    rng = np.random.default_rng(seed)
+    chroms = list(genes_by_chrom.keys())
+    recs = []
+    for tid, chrom in enumerate(chroms):
+        sub = simulate_sample(rng, genes_by_chrom[chrom],
+                              chrom_lens[chrom], **kwargs)
+        # qname collisions across chromosomes are harmless: pairing is
+        # resolved within a chromosome's read set
+        for r in sub:
+            recs.append((r[0], tid, *r[2:]))
+    bamio.write_bam(path, chroms, [chrom_lens[c] for c in chroms], recs)

@@ -120,3 +120,39 @@ def test_pipeline_minimax_filter(dataset, tmp_path):
     # every surviving gene clears the minimax threshold
     for g in di.gene:
         assert cov[g].max() >= 5
+
+
+def test_pipeline_multichrom(tmp_path):
+    """Two-chromosome dataset: per-chromosome outputs, DI matrix covers
+    genes from both."""
+    import numpy as np
+    from degnorm_tpu.io.simulate import (make_genes, write_gtf,
+                                         write_multichrom_bam)
+    from degnorm_tpu.cli import main
+
+    rng = np.random.default_rng(77)
+    g1 = make_genes(rng, chrom="chr1", n_genes=4, name_prefix="a.")
+    g2 = make_genes(rng, chrom="chr2", n_genes=3, name_prefix="b.")
+    gtf = str(tmp_path / "mc.gtf")
+    write_gtf(gtf, g1 + g2)
+    lens = {"chr1": 60_000, "chr2": 60_000}
+    bams = []
+    for i in range(2):
+        b = str(tmp_path / f"mcs{i}.bam")
+        write_multichrom_bam(b, {"chr1": g1, "chr2": g2}, lens,
+                             seed=200 + i, mean_reads_per_gene=100)
+        bams.append(b)
+    out_base = str(tmp_path / "out")
+    os.makedirs(out_base)
+    rc = main(["--bam-files", *bams, "-g", gtf, "-o", out_base,
+               "--nmf-iter", "4", "--iter", "1"])
+    assert rc == 0
+    run = os.path.join(out_base, os.listdir(out_base)[0])
+    di = pd.read_csv(os.path.join(run, "degradation_index_scores.csv"))
+    assert set(di.chr) == {"chr1", "chr2"}
+    assert len(di) == 7
+    for c in ("chr1", "chr2"):
+        assert os.path.isfile(os.path.join(
+            run, c, f"coverage_matrices_{c}.pkl"))
+        assert os.path.isfile(os.path.join(
+            run, c, f"estimated_coverage_matrices_{c}.pkl"))
