@@ -94,10 +94,10 @@ class EngineConfig:
     # Length-bucket edges used by the packer (positions). Genes are padded to
     # the smallest bucket width >= L_i; widths are multiples of 128 lanes.
     bucket_widths: Sequence[int] = (256, 512, 1024, 2048, 4096, 8192, 16384, 65536)
-    # Cap on genes per device batch within one bucket. Also bounds the set
-    # of compiled kernel shapes: full chunks always have exactly this many
-    # genes, so large datasets reuse one compilation per bucket width.
-    max_genes_per_batch: int = 2048
+    # Cap on genes per device batch within one bucket; 0 = unbounded (one
+    # batch per width — fewest dispatches; gene counts are ladder-quantized
+    # so compiled shapes still recur across similar-sized datasets).
+    max_genes_per_batch: int = 0
     # Gene-data-parallel mesh axis name.
     mesh_axis: str = "genes"
     # When set, capture a jax.profiler trace of the DegNorm iterations into

@@ -47,27 +47,6 @@ def _bucket_step(F, len_mask, scale_factors, ds_start, nmf_cfg: NMFConfig,
                                   with_estimates=with_estimates)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("nmf_cfg", "eng_cfg", "with_estimates"))
-def _all_buckets_step(Fs, masks, scale_factors, ds_starts,
-                      nmf_cfg: NMFConfig, eng_cfg: EngineConfig,
-                      with_estimates: bool = True):
-    """Every bucket's iteration work fused into ONE device program — a
-    single dispatch/sync round trip per DegNorm iteration regardless of
-    bucket count (per-call latency dominates on tunneled runtimes)."""
-    return tuple(
-        baseline_select_bucket(F / scale_factors[None, :, None], m,
-                               nmf_cfg, eng_cfg, ds_start=ds,
-                               with_estimates=with_estimates)
-        for F, m, ds in zip(Fs, masks, ds_starts))
-
-
-@functools.partial(jax.jit, static_argnames=("eng_cfg",))
-def _all_buckets_init(Fs, masks, eng_cfg: EngineConfig):
-    return tuple(
-        ratio_svd_rowsums(F, m, power_iters=eng_cfg.power_iters_cold,
-                          method=eng_cfg.rank1_method)
-        for F, m in zip(Fs, masks))
 
 
 @functools.partial(jax.jit, static_argnames=("eng_cfg",))
@@ -201,9 +180,9 @@ class DegNormEngine:
             t0 = _time.perf_counter()
             cov_sums = np.zeros((n, p))
             est_sums = np.zeros((n, p))
-            init_out = _all_buckets_init(tuple(self._device_F),
-                                         tuple(self._device_mask),
-                                         self.eng_cfg)
+            init_out = [_bucket_init(F_d, m_d, self.eng_cfg)
+                        for F_d, m_d in zip(self._device_F,
+                                            self._device_mask)]
             for b, (cs, es) in zip(self._buckets, init_out):
                 scatter_rows(cov_sums, np.asarray(cs, np.float64),
                              b.gene_indices)
@@ -226,12 +205,16 @@ class DegNormEngine:
                 # dispatch every bucket first (async), then materialize —
                 # device execution and host transfers pipeline across
                 # buckets instead of round-tripping one at a time
+                # per-bucket dispatches (all async before any sync): each
+                # bucket kernel caches independently and is reusable across
+                # datasets, unlike a fused whole-profile program
                 final = it == self.nmf_cfg.degnorm_iter - 1
-                results: List[BucketResult] = list(_all_buckets_step(
-                    tuple(self._device_F), tuple(self._device_mask), sf,
-                    tuple(self._ds_starts(b, it) for b in self._buckets),
-                    self.nmf_cfg.kernel_key(), self.eng_cfg,
-                    with_estimates=final))
+                results: List[BucketResult] = [
+                    _bucket_step(F_d, m_d, sf, self._ds_starts(b, it),
+                                 self.nmf_cfg.kernel_key(), self.eng_cfg,
+                                 with_estimates=final)
+                    for b, F_d, m_d in zip(self._buckets, self._device_F,
+                                           self._device_mask)]
                 for b, res in zip(self._buckets, results):
                     scatter_rows(rho_raw, np.asarray(res.rho, np.float64),
                                  b.gene_indices)
