@@ -43,7 +43,9 @@ def synth_dataset(n, p, seed=7):
             if j % 2 == 1:
                 row = row * np.exp(-2.0 * (1 - t) * rng.random())
             rows.append(row)
-        cov[f"g{i}"] = np.round(np.maximum(np.vstack(rows), 0.0), 3)
+        # integer coverage (like real read pileups) — rides the engine's
+        # half-width int16 upload path
+        cov[f"g{i}"] = np.round(np.maximum(np.vstack(rows), 0.0) * 20)
     X = np.round(np.abs(rng.standard_normal((n, p))) * 300 + 30)
     return cov, X
 

@@ -40,7 +40,11 @@ def _bucket_step(F, len_mask, scale_factors, ds_start, nmf_cfg: NMFConfig,
     """One DegNorm iteration's device work for one bucket: scale-adjust the
     coverage (nmf.py:142-146,563) then run batched baseline selection.
     ``with_estimates=False`` skips the (G, W) estimate factor output —
-    intermediate iterations only need DI scores."""
+    intermediate iterations only need DI scores.
+
+    ``F`` may arrive as int16 (integral coverage uploads at half the
+    bytes); it is cast to the compute dtype on device."""
+    F = F.astype(scale_factors.dtype)
     F_adj = F / scale_factors[None, :, None]
     return baseline_select_bucket(F_adj, len_mask, nmf_cfg, eng_cfg,
                                   ds_start=ds_start,
@@ -53,6 +57,8 @@ def _bucket_step(F, len_mask, scale_factors, ds_start, nmf_cfg: NMFConfig,
 def _bucket_init(F, len_mask, eng_cfg: EngineConfig):
     """Initialization: ratio-SVD row sums on the raw coverage
     (nmf.py:522-526)."""
+    if F.dtype == jnp.int16:
+        F = F.astype(jnp.dtype(eng_cfg.dtype))
     return ratio_svd_rowsums(F, len_mask,
                              power_iters=eng_cfg.power_iters_cold,
                              method=eng_cfg.rank1_method)
@@ -106,14 +112,24 @@ class DegNormEngine:
             pad_genes_to=n_devices,
             max_genes_per_bucket=self.eng_cfg.max_genes_per_batch,
         )
+        def upload_form(F):
+            # integral coverage bounded by int16 uploads at half the bytes
+            # (host->device links are often the cold-start bottleneck);
+            # kernels cast back to the compute dtype on device.
+            if (dtype == jnp.float32 and F.max() < 32767
+                    and np.all(F == np.floor(F))):
+                return F.astype(np.int16)
+            return F
+
         if self.mesh is not None:
             from degnorm_tpu.parallel.sharded import shard_bucket
-            placed = [shard_bucket(b.F, b.len_mask(), self.mesh)
+            placed = [shard_bucket(upload_form(b.F), b.len_mask(), self.mesh)
                       for b in self._buckets]
             self._device_F = [f for f, _ in placed]
             self._device_mask = [m for _, m in placed]
         else:
-            self._device_F = [jnp.asarray(b.F) for b in self._buckets]
+            self._device_F = [jnp.asarray(upload_form(b.F))
+                              for b in self._buckets]
             self._device_mask = [jnp.asarray(b.len_mask())
                                  for b in self._buckets]
 
