@@ -75,9 +75,11 @@ class EngineConfig:
 
     # Power-iteration steps for the dominant eigenpair of the p x p Gram
     # matrix on a cold start and when warm-started from the previous
-    # Lagrangian iteration's vector.
-    power_iters_cold: int = 30
-    power_iters_warm: int = 6
+    # Lagrangian iteration's vector.  Long sparse genes can have slowly
+    # separating singular values; these counts hold DI parity to ~1e-4 at
+    # negligible cost (power steps are O(p²) vs the O(p²W) Gram).
+    power_iters_cold: int = 128
+    power_iters_warm: int = 24
     # Dominant-eigenpair extraction on the p x p Gram matrix: "power"
     # (warm-started power iteration, TPU fast path) or "eigh" (exact batched
     # eigendecomposition, parity/debug path).
