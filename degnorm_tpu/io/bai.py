@@ -1,0 +1,187 @@
+"""BAI (BAM index) writing and reading.
+
+The reference shells out to ``samtools index`` to create missing .bai files
+(``utils.py:149-173``) and relies on pysam's BAI-driven ``fetch``
+(``reads.py:225``).  Here the index format itself is implemented (SAM spec
+§5.2): the R-tree binning scheme (reg2bin), 16 kb linear index windows, and
+BGZF virtual file offsets — so indexes can be built without samtools and
+used for region-restricted reads without inflating whole files.
+
+A BAI is not *required* by this pipeline (the readers stream), but indexes
+make per-chromosome fetches on large files cheap and keep the output
+ecosystem interoperable (files we write can be indexed for IGV/samtools).
+"""
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Tuple
+
+from degnorm_tpu.io import bgzf
+
+BAI_MAGIC = b"BAI\x01"
+_LINEAR_SHIFT = 14               # 16 kb windows
+_MAX_BIN = 37450                 # bin count for a 512 Mb reference
+
+
+def reg2bin(beg: int, end: int) -> int:
+    """Smallest R-tree bin containing [beg, end) (SAM spec §5.3)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def reg2bins(beg: int, end: int) -> List[int]:
+    """All bins overlapping [beg, end) (SAM spec §5.3)."""
+    end -= 1
+    out = [0]
+    for shift, base in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+        out.extend(range(base + (beg >> shift), base + (end >> shift) + 1))
+    return out
+
+
+class BaiIndex:
+    """Parsed BAI: per-reference {bin: [(voff_start, voff_end), ...]} plus
+    the 16 kb linear index."""
+
+    def __init__(self, bins: List[Dict[int, List[Tuple[int, int]]]],
+                 linear: List[List[int]]):
+        self.bins = bins
+        self.linear = linear
+
+    def chunks_for(self, tid: int, beg: int = 0,
+                   end: int = 1 << 29) -> List[Tuple[int, int]]:
+        """Candidate (voff_start, voff_end) chunks for a region, pruned by
+        the linear index and merged."""
+        if tid >= len(self.bins):
+            return []
+        min_off = 0
+        lin = self.linear[tid]
+        w = beg >> _LINEAR_SHIFT
+        if w < len(lin):
+            min_off = lin[w]
+        chunks = []
+        for b in reg2bins(beg, end):
+            for s, e in self.bins[tid].get(b, ()):
+                if e > min_off:
+                    chunks.append((max(s, min_off), e))
+        chunks.sort()
+        merged: List[List[int]] = []
+        for s, e in chunks:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        return [(s, e) for s, e in merged]
+
+
+def write_bai(path: str,
+              per_ref_records: List[List[Tuple[int, int, int, int]]]) -> None:
+    """Write a .bai. per_ref_records[tid] lists (pos0, end0_excl,
+    voff_start, voff_end) per alignment, in file order."""
+    out = [BAI_MAGIC, struct.pack("<i", len(per_ref_records))]
+    for recs in per_ref_records:
+        bins: Dict[int, List[Tuple[int, int]]] = {}
+        n_windows = 0
+        for pos, end, vs, ve in recs:
+            n_windows = max(n_windows, ((max(end, pos + 1) - 1)
+                                        >> _LINEAR_SHIFT) + 1)
+        linear = [0] * n_windows
+        filled = [False] * n_windows
+        for pos, end, vs, ve in recs:
+            b = reg2bin(pos, max(end, pos + 1))
+            lst = bins.setdefault(b, [])
+            # merge chunks adjacent in the file
+            if lst and lst[-1][1] == vs:
+                lst[-1] = (lst[-1][0], ve)
+            else:
+                lst.append((vs, ve))
+            for w in range(pos >> _LINEAR_SHIFT,
+                           ((max(end, pos + 1) - 1) >> _LINEAR_SHIFT) + 1):
+                if not filled[w] or vs < linear[w]:
+                    linear[w] = vs
+                    filled[w] = True
+        # backfill empty leading windows per spec convention
+        prev = 0
+        for w in range(n_windows):
+            if not filled[w]:
+                linear[w] = prev
+            prev = linear[w]
+
+        out.append(struct.pack("<i", len(bins)))
+        for b in sorted(bins):
+            out.append(struct.pack("<Ii", b, len(bins[b])))
+            for s, e in bins[b]:
+                out.append(struct.pack("<QQ", s, e))
+        out.append(struct.pack("<i", len(linear)))
+        for v in linear:
+            out.append(struct.pack("<Q", v))
+    with open(path, "wb") as f:
+        f.write(b"".join(out))
+
+
+def read_bai(path: str) -> BaiIndex:
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:4] != BAI_MAGIC:
+        raise ValueError("not a BAI file")
+    off = 4
+    (n_ref,) = struct.unpack_from("<i", buf, off)
+    off += 4
+    bins_all, linear_all = [], []
+    for _ in range(n_ref):
+        (n_bin,) = struct.unpack_from("<i", buf, off)
+        off += 4
+        bins: Dict[int, List[Tuple[int, int]]] = {}
+        for _ in range(n_bin):
+            b, n_chunk = struct.unpack_from("<Ii", buf, off)
+            off += 8
+            chunks = []
+            for _ in range(n_chunk):
+                s, e = struct.unpack_from("<QQ", buf, off)
+                off += 16
+                chunks.append((s, e))
+            bins[b] = chunks
+        (n_intv,) = struct.unpack_from("<i", buf, off)
+        off += 4
+        linear = list(struct.unpack_from(f"<{n_intv}Q", buf, off))
+        off += 8 * n_intv
+        bins_all.append(bins)
+        linear_all.append(linear)
+    return BaiIndex(bins_all, linear_all)
+
+
+def fetch_region_bytes(bam_path: str, index: BaiIndex, tid: int,
+                       beg: int = 0, end: int = 1 << 29) -> bytes:
+    """Inflate only the BGZF blocks covering a region's chunks; returns the
+    concatenated uncompressed byte range per chunk (callers slice records
+    out of it).  Virtual offset = (compressed_block_start << 16) | intra."""
+    with open(bam_path, "rb") as f:
+        raw = f.read()
+    view = memoryview(raw)
+    out = []
+    for vs, ve in index.chunks_for(tid, beg, end):
+        coff, intra = vs >> 16, vs & 0xFFFF
+        coff_end, intra_end = ve >> 16, ve & 0xFFFF
+        pos = coff
+        datas = []
+        while pos <= coff_end and pos < len(raw):
+            data, nxt = bgzf._read_block(view, pos)
+            if pos == coff_end:
+                data = data[:intra_end]
+            if pos == coff:
+                data = data[intra:]
+            datas.append(data)
+            if pos == coff_end:
+                break
+            pos = nxt
+        out.append(b"".join(datas))
+    return b"".join(out)

@@ -155,7 +155,16 @@ def read_bam(path: str, *, tid: Optional[int] = None,
         raw = f.read()
     buf = bgzf.decompress(raw)
     header, off = _parse_header(buf)
+    cols = _parse_records(buf, off=off, tid=tid, drop_unmapped=drop_unmapped)
+    return header, cols
 
+
+def _parse_records(buf: bytes, off: int = 0, tid: Optional[int] = None,
+                   drop_unmapped: bool = True,
+                   pos_range: Optional[Tuple[int, int]] = None
+                   ) -> ReadColumns:
+    """Decode raw alignment records starting at ``off`` into columns.
+    ``pos_range``: keep only records with pos in [beg, end)."""
     qnames: List[str] = []
     tids: List[int] = []
     poss: List[int] = []
@@ -177,6 +186,8 @@ def read_bam(path: str, *, tid: Optional[int] = None,
             continue
         if drop_unmapped and (flag & FLAG_UNMAPPED):
             continue
+        if pos_range is not None and not (pos_range[0] <= pos < pos_range[1]):
+            continue
         p = start + 32
         qname = buf[p: p + lrn - 1].decode()
         p += lrn
@@ -196,7 +207,7 @@ def read_bam(path: str, *, tid: Optional[int] = None,
         lens.extend((cig >> 4).tolist())
         offsets.append(len(ops))
 
-    cols = ReadColumns(
+    return ReadColumns(
         qnames=np.array(qnames, dtype=object),
         tid=np.array(tids, dtype=np.int32),
         pos=np.array(poss, dtype=np.int32),
@@ -207,7 +218,6 @@ def read_bam(path: str, *, tid: Optional[int] = None,
         cigar_lens=np.array(lens, dtype=np.int32),
         cigar_offsets=np.array(offsets, dtype=np.int64),
     )
-    return header, cols
 
 
 def _read_bam_native(path: str, *, tid: Optional[int],
@@ -285,15 +295,31 @@ def _encode_cigar(cigar: str) -> bytes:
     return out
 
 
+def _cigar_ref_len(cigar: str) -> int:
+    """Reference-consumed length of a cigar string (M/D/N/=/X)."""
+    total, num = 0, ""
+    for ch in cigar:
+        if ch.isdigit():
+            num += ch
+        else:
+            if ch in "MDN=X":
+                total += int(num)
+            num = ""
+    return total
+
+
 def write_bam(path: str, ref_names: Sequence[str],
               ref_lengths: Sequence[int],
               records: Iterable[Tuple],
-              *, nh_tags: bool = False) -> None:
-    """Write a BAM file.
+              *, nh_tags: bool = False,
+              index_path: Optional[str] = None) -> None:
+    """Write a BAM file (optionally with a .bai index).
 
     records: iterable of (qname, tid, pos0, flag, cigar_str, rnext[, nh]).
     Sequences/quals are omitted (l_seq = 0) — legal BAM, sufficient for
-    coverage pipelines.
+    coverage pipelines.  ``index_path``: write a BAI index there (the
+    reference requires samtools for this, utils.py:149-173; io/bai.py
+    implements the format natively).
     """
     text = "".join(f"@SQ\tSN:{n}\tLN:{l}\n"
                    for n, l in zip(ref_names, ref_lengths))
@@ -304,6 +330,8 @@ def write_bam(path: str, ref_names: Sequence[str],
         hdr += struct.pack("<i", len(b)) + b + struct.pack("<i", ln)
 
     body = [hdr]
+    u_off = len(hdr)
+    spans = []                       # (tid, pos0, ref_end, u_start, u_end)
     for rec in records:
         qname, tid_, pos0, flag, cigar, rnext = rec[:6]
         nh = rec[6] if len(rec) > 6 else None
@@ -316,7 +344,38 @@ def write_bam(path: str, ref_names: Sequence[str],
             "<iiBBHHHiiii", tid_, pos0, len(qb), 60,
             0, len(cig) // 4, flag, 0, rnext, -1, 0)
         data += qb + cig + aux
-        body.append(struct.pack("<i", len(data)) + data)
+        blob = struct.pack("<i", len(data)) + data
+        body.append(blob)
+        spans.append((tid_, pos0, pos0 + max(_cigar_ref_len(cigar), 1),
+                      u_off, u_off + len(blob)))
+        u_off += len(blob)
 
+    payload = b"".join(body)
+    compressed, table = bgzf.compress_with_table(payload)
     with open(path, "wb") as f:
-        f.write(bgzf.compress(b"".join(body)))
+        f.write(compressed)
+
+    if index_path:
+        from degnorm_tpu.io.bai import write_bai
+        per_ref = [[] for _ in ref_names]
+        for tid_, pos0, rend, us, ue in spans:
+            if 0 <= tid_ < len(per_ref):
+                per_ref[tid_].append(
+                    (pos0, rend, bgzf.virtual_offset(table, us),
+                     bgzf.virtual_offset(table, ue)))
+        write_bai(index_path, per_ref)
+
+
+def read_bam_region(path: str, bai_path: str, tid: int,
+                    beg: int = 0, end: int = 1 << 29,
+                    drop_unmapped: bool = True
+                    ) -> Tuple[BamHeader, ReadColumns]:
+    """BAI-driven region fetch: inflate only the BGZF blocks covering the
+    region's chunks (the pysam ``fetch`` equivalent, reads.py:225)."""
+    from degnorm_tpu.io.bai import fetch_region_bytes, read_bai
+    header = read_header(path)
+    index = read_bai(bai_path)
+    blob = fetch_region_bytes(path, index, tid, beg, end)
+    cols = _parse_records(blob, tid=tid, drop_unmapped=drop_unmapped,
+                          pos_range=(beg, end))
+    return header, cols

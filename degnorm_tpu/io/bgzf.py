@@ -74,11 +74,36 @@ def _write_block(payload: bytes) -> bytes:
 
 def compress(data: bytes, *, eof: bool = True) -> bytes:
     """Deflate ``data`` into BGZF blocks (+ EOF marker)."""
+    return compress_with_table(data, eof=eof)[0]
+
+
+def compress_with_table(data: bytes, *, eof: bool = True):
+    """Compress and also return the block table
+    [(uncompressed_start, compressed_start, uncompressed_len), ...] —
+    enough to map any uncompressed offset to a BGZF virtual offset
+    ((compressed_block_start << 16) | intra-block offset)."""
     out = []
+    table = []
+    c_off = 0
     for i in range(0, len(data), _MAX_BLOCK_PAYLOAD):
-        out.append(_write_block(data[i:i + _MAX_BLOCK_PAYLOAD]))
+        payload = data[i:i + _MAX_BLOCK_PAYLOAD]
+        blk = _write_block(payload)
+        table.append((i, c_off, len(payload)))
+        out.append(blk)
+        c_off += len(blk)
     if not data:
         out.append(_write_block(b""))
+        table.append((0, 0, 0))
     if eof:
         out.append(BGZF_EOF)
-    return b"".join(out)
+    return b"".join(out), table
+
+
+def virtual_offset(table, u_offset: int) -> int:
+    """Map an uncompressed byte offset to a BGZF virtual offset using a
+    block table from compress_with_table."""
+    import bisect
+    starts = [t[0] for t in table]
+    i = bisect.bisect_right(starts, u_offset) - 1
+    u0, c0, _ = table[max(i, 0)]
+    return (c0 << 16) | (u_offset - u0)
