@@ -376,9 +376,27 @@ def chromosome_coverage_read_counts(
     paired: bool,
     unique_alignment: bool = True,
     compat: str = "reference",
+    native: Optional[bool] = None,
 ) -> ChromCoverage:
     """Coverage + read counts for one sample on one chromosome
-    (reference reads.py:314-818; see module docstring for conventions)."""
+    (reference reads.py:314-818; see module docstring for conventions).
+
+    Routes through the C++ kernel (io/native/coverage_kernel.cpp) when
+    available and applicable (compat mode, pairing hashes present);
+    ``native=False`` or DEGNORM_TPU_NO_NATIVE=1 forces this numpy path.
+    """
+    import os as _os
+    if native is None:
+        native = (_os.environ.get("DEGNORM_TPU_NO_NATIVE", "0") != "1"
+                  and compat == "reference")
+    if native and compat == "reference" and len(cols) and len(chrom_gene_df):
+        from degnorm_tpu.io.coverage_native import chromosome_coverage_native
+        out = chromosome_coverage_native(
+            cols, chrom, chrom_len, chrom_gene_df, chrom_exon_df,
+            overlap_dat, paired=paired, unique_alignment=unique_alignment)
+        if out is not None:
+            return out
+
     genes = chrom_gene_df.gene.values
     gene_start0 = chrom_gene_df.gene_start.values.astype(np.int64) - 1
     gene_end0 = chrom_gene_df.gene_end.values.astype(np.int64) - 1

@@ -1,0 +1,141 @@
+"""ctypes front-end for the native coverage kernel
+(io/native/coverage_kernel.cpp).
+
+Marshals the pandas annotation into flat arrays, invokes
+``dn_chrom_coverage``, and reshapes the outputs into the same
+ChromCoverage contract as the numpy implementation.  Returns None when the
+native path does not apply (no toolchain, strict mode, or missing pairing
+hashes) so callers fall back transparently.
+"""
+from __future__ import annotations
+
+import ctypes
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+
+from degnorm_tpu.io.bam import ReadColumns
+from degnorm_tpu.io.coverage import ChromCoverage
+
+
+def _ptr(arr, ctype):
+    if len(arr) == 0:
+        return None
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def chromosome_coverage_native(
+    cols: ReadColumns,
+    chrom: str,
+    chrom_len: int,
+    chrom_gene_df: pd.DataFrame,
+    chrom_exon_df: pd.DataFrame,
+    overlap_dat: Dict[str, list],
+    *,
+    paired: bool,
+    unique_alignment: bool = True,
+) -> Optional[ChromCoverage]:
+    from degnorm_tpu.io.native.build import load_library
+    lib = load_library()
+    if lib is None:
+        return None
+    if paired and cols.pair_hash is None:
+        return None
+
+    genes = chrom_gene_df.gene.values
+    n_genes = len(genes)
+    gene_start0 = np.ascontiguousarray(
+        chrom_gene_df.gene_start.values.astype(np.int64) - 1)
+    gene_end0 = np.ascontiguousarray(
+        chrom_gene_df.gene_end.values.astype(np.int64) - 1)
+
+    gene_idx = {g: i for i, g in enumerate(genes)}
+    gene_group = np.full(n_genes, -1, dtype=np.int32)
+    groups = overlap_dat.get("overlap_genes", [])
+    for gi, members in enumerate(groups):
+        for g in members:
+            if g in gene_idx:
+                gene_group[gene_idx[g]] = gi
+
+    # per-gene exon arrays in the reference's quirky convention
+    # (sorted starts 0-indexed; sorted ends left 1-indexed)
+    ex_starts, ex_ends, ex_off = [], [], [0]
+    tx_positions = []
+    for g in genes:
+        gex = chrom_exon_df[chrom_exon_df.gene == g]
+        s0 = np.sort(gex.start.values.astype(np.int64)) - 1
+        e1 = np.sort(gex.end.values.astype(np.int64))
+        ex_starts.append(s0)
+        ex_ends.append(e1)
+        ex_off.append(ex_off[-1] + len(s0))
+        tx = np.unique(np.concatenate(
+            [np.arange(a, b) for a, b in zip(s0, e1)])) if len(s0) else \
+            np.empty(0, np.int64)
+        tx_positions.append(tx)
+    exon_starts0 = np.ascontiguousarray(
+        np.concatenate(ex_starts) if ex_starts else np.empty(0, np.int64))
+    exon_ends1 = np.ascontiguousarray(
+        np.concatenate(ex_ends) if ex_ends else np.empty(0, np.int64))
+    exon_offsets = np.asarray(ex_off, np.int64)
+
+    union_starts0 = np.ascontiguousarray(
+        chrom_exon_df.start.values.astype(np.int64) - 1)
+    union_ends1 = np.ascontiguousarray(
+        chrom_exon_df.end.values.astype(np.int64))
+
+    # overlap-gene coverage spans, concatenated
+    span_off = [0]
+    for i in range(n_genes):
+        w = int(gene_end0[i] - gene_start0[i] + 1) if gene_group[i] >= 0 \
+            else 0
+        span_off.append(span_off[-1] + w)
+    overlap_cov_offsets = np.asarray(span_off, np.int64)
+    overlap_cov = np.zeros(span_off[-1], dtype=np.int64)
+
+    has_isolated = bool(overlap_dat.get("isolated_genes"))
+    iso_cov = np.zeros(chrom_len, np.int64) if has_isolated else None
+    read_counts = np.zeros(n_genes, np.int64)
+
+    pos = np.ascontiguousarray(cols.pos, np.int32)
+    cops = np.ascontiguousarray(cols.cigar_ops, np.int8)
+    clens = np.ascontiguousarray(cols.cigar_lens, np.int32)
+    coffs = np.ascontiguousarray(cols.cigar_offsets, np.int64)
+    nh = np.ascontiguousarray(cols.nh, np.int32)
+    rnext = np.ascontiguousarray(cols.rnext, np.int32)
+    phash = (np.ascontiguousarray(cols.pair_hash, np.uint64)
+             if cols.pair_hash is not None else np.empty(0, np.uint64))
+
+    rc = lib.dn_chrom_coverage(
+        len(cols),
+        _ptr(pos, ctypes.c_int32), _ptr(cops, ctypes.c_int8),
+        _ptr(clens, ctypes.c_int32), _ptr(coffs, ctypes.c_int64),
+        _ptr(nh, ctypes.c_int32), _ptr(rnext, ctypes.c_int32),
+        _ptr(phash, ctypes.c_uint64),
+        1 if paired else 0, 1 if unique_alignment else 0,
+        chrom_len, n_genes,
+        _ptr(gene_start0, ctypes.c_int64), _ptr(gene_end0, ctypes.c_int64),
+        _ptr(gene_group, ctypes.c_int32),
+        len(groups),
+        _ptr(exon_offsets, ctypes.c_int64),
+        _ptr(exon_starts0, ctypes.c_int64), _ptr(exon_ends1, ctypes.c_int64),
+        len(union_starts0),
+        _ptr(union_starts0, ctypes.c_int64), _ptr(union_ends1, ctypes.c_int64),
+        _ptr(iso_cov, ctypes.c_int64) if iso_cov is not None else None,
+        _ptr(overlap_cov, ctypes.c_int64),
+        _ptr(overlap_cov_offsets, ctypes.c_int64),
+        _ptr(read_counts, ctypes.c_int64))
+    if rc != 0:
+        return None
+
+    overlap_out = {}
+    for i, g in enumerate(genes):
+        if gene_group[i] < 0:
+            continue
+        span = overlap_cov[span_off[i]:span_off[i + 1]]
+        overlap_out[g] = span[tx_positions[i] - gene_start0[i]]
+
+    return ChromCoverage(
+        chrom=chrom, isolated_coverage=iso_cov,
+        overlap_coverage=overlap_out,
+        read_counts={g: int(c) for g, c in zip(genes, read_counts)})

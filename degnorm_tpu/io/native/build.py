@@ -15,6 +15,7 @@ from typing import Optional
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "bam_reader.cpp")
+_SRC_COV = os.path.join(_DIR, "coverage_kernel.cpp")
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _FAILED = False
@@ -44,9 +45,11 @@ class DnBamData(ctypes.Structure):
 
 
 def _so_path() -> str:
-    with open(_SRC, "rb") as f:
-        h = hashlib.sha256(f.read()).hexdigest()[:12]
-    return os.path.join(_DIR, f"libdnbam_{h}.so")
+    h = hashlib.sha256()
+    for src in (_SRC, _SRC_COV):
+        with open(src, "rb") as f:
+            h.update(f.read())
+    return os.path.join(_DIR, f"libdnbam_{h.hexdigest()[:12]}.so")
 
 
 def load_library() -> Optional[ctypes.CDLL]:
@@ -60,7 +63,8 @@ def load_library() -> Optional[ctypes.CDLL]:
         so = _so_path()
         if not os.path.isfile(so):
             cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                   "-std=c++17", "-pthread", _SRC, "-o", so + ".tmp", "-lz"]
+                   "-std=c++17", "-pthread", _SRC, _SRC_COV,
+                   "-o", so + ".tmp", "-lz"]
             try:
                 subprocess.run(cmd, check=True, capture_output=True,
                                timeout=120)
@@ -76,6 +80,19 @@ def load_library() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(DnBamData)]
             lib.dn_free_bam.restype = None
             lib.dn_free_bam.argtypes = [ctypes.POINTER(DnBamData)]
+            i8 = ctypes.POINTER(ctypes.c_int8)
+            i32 = ctypes.POINTER(ctypes.c_int32)
+            i64 = ctypes.POINTER(ctypes.c_int64)
+            u64 = ctypes.POINTER(ctypes.c_uint64)
+            lib.dn_chrom_coverage.restype = ctypes.c_int
+            lib.dn_chrom_coverage.argtypes = [
+                ctypes.c_int64, i32, i8, i32, i64, i32, i32, u64,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.c_int64, ctypes.c_int64, i64, i64, i32,
+                ctypes.c_int64, i64, i64, i64,
+                ctypes.c_int64, i64, i64,
+                i64, i64, i64, i64,
+            ]
             _LIB = lib
         except OSError:
             _FAILED = True

@@ -44,3 +44,37 @@ def test_native_is_default(bam_file, monkeypatch):
     monkeypatch.delenv("DEGNORM_TPU_NO_NATIVE", raising=False)
     hdr, cols = bamio.read_bam(bam_file)
     assert len(cols) > 0
+
+
+def test_native_coverage_kernel_matches_numpy(bam_file):
+    """The C++ coverage kernel must equal the numpy implementation exactly
+    (which is itself byte-equal to the reference)."""
+    from degnorm_tpu.io.coverage import chromosome_coverage_read_counts
+    from degnorm_tpu.io.gtf import gene_outline
+    from degnorm_tpu.io.overlap import overlap_structure
+    import pandas as pd
+    from degnorm_tpu.io.simulate import make_genes
+
+    rng = np.random.default_rng(3)
+    genes = make_genes(rng, n_genes=6)
+    exon_rows = [("chr1", s, e, g.name, g.exons[0][0], g.exons[-1][1])
+                 for g in genes for s, e in g.exons]
+    exon_df = pd.DataFrame(exon_rows, columns=[
+        "chr", "start", "end", "gene", "gene_start", "gene_end"])
+    gene_df = exon_df[["chr", "gene", "gene_start", "gene_end"]
+                      ].drop_duplicates().reset_index(drop=True)
+    ov = overlap_structure(gene_df)
+    hdr, cols = bamio.read_bam(bam_file, tid=0)
+
+    kw = dict(paired=True, unique_alignment=True, compat="reference")
+    a = chromosome_coverage_read_counts(
+        cols, "chr1", 100_000, gene_df, exon_df, ov, native=False, **kw)
+    b = chromosome_coverage_read_counts(
+        cols, "chr1", 100_000, gene_df, exon_df, ov, native=True, **kw)
+    assert a.read_counts == b.read_counts
+    if a.isolated_coverage is not None:
+        np.testing.assert_array_equal(a.isolated_coverage,
+                                      b.isolated_coverage)
+    for g in a.overlap_coverage:
+        np.testing.assert_array_equal(a.overlap_coverage[g],
+                                      b.overlap_coverage[g])
