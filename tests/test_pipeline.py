@@ -156,3 +156,33 @@ def test_pipeline_multichrom(tmp_path):
             run, c, f"coverage_matrices_{c}.pkl"))
         assert os.path.isfile(os.path.join(
             run, c, f"estimated_coverage_matrices_{c}.pkl"))
+
+
+def test_pipeline_plot_genes_and_bam_dir(dataset, tmp_path):
+    """--plot-genes (incl. .txt expansion) and --bam-dir scanning."""
+    import shutil
+    from degnorm_tpu.cli import main
+    bam_dir = tmp_path / "bams"
+    bam_dir.mkdir()
+    for b in dataset["bams"]:
+        shutil.copy(b, bam_dir)
+    genes_txt = tmp_path / "genes.txt"
+    genes_txt.write_text("gene000\ngene001\n")
+    out_base = str(tmp_path / "out")
+    os.makedirs(out_base)
+    rc = main(["--bam-dir", str(bam_dir), "-g", dataset["gtf"],
+               "-o", out_base, "--nmf-iter", "4", "--iter", "1",
+               "--plot-genes", str(genes_txt), "gene002"])
+    assert rc == 0
+    run = os.path.join(out_base, os.listdir(out_base)[0])
+    pngs = [f for f in os.listdir(os.path.join(run, "chr1"))
+            if f.endswith("_coverage.png")]
+    assert any(f.lower().startswith("gene00") for f in pngs)
+
+
+def test_multihost_init_noop(monkeypatch):
+    """initialize_multihost is a no-op without coordinator config."""
+    from degnorm_tpu.parallel.distributed import initialize_multihost
+    monkeypatch.delenv("DEGNORM_TPU_COORDINATOR", raising=False)
+    monkeypatch.delenv("DEGNORM_TPU_NUM_PROCESSES", raising=False)
+    initialize_multihost()   # must not raise or initialize anything
