@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _EPS = 1e-30
 # VMEM working-set budget (bytes) for choosing the gene-block size.
-_VMEM_BUDGET = 6 * 1024 * 1024
+_VMEM_BUDGET = 8 * 1024 * 1024
 
 
 def _gram(X):
