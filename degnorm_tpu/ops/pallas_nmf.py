@@ -11,7 +11,7 @@ multipliers resident in VMEM for the entire loop:
 
 so the loop becomes VPU compute-bound (the Gram contraction is p passes
 over the block, p <= 32).  The gene-block size is chosen so that
-(A0, lambda + transients) fit in ~12 MB of VMEM.
+(A0, lambda + transients) fit the VMEM budget below.
 
 Numerics are identical to core/nmf.py: cold-start power iteration on the
 p x p Gram matrix, warm-started u across Lagrangian steps, Perron sign
