@@ -43,9 +43,12 @@ def _gram(X):
 
 def _matsq(B):
     """Batched (bg, p, p) @ (bg, p, p) via p unrolled row contractions
-    (Mosaic-friendly; p <= 32)."""
+    (Mosaic-friendly: slices + broadcasts only, no gathers; p <= 32)."""
     p = B.shape[1]
-    rows = [jnp.sum(B[:, i, :, None] * B, axis=1) for i in range(p)]
+    rows = []
+    for i in range(p):
+        Bi = jnp.squeeze(B[:, i:i + 1, :], axis=1)        # (bg, p)
+        rows.append(jnp.sum(B * Bi[:, :, None], axis=1))  # row i of B @ B
     return jnp.stack(rows, axis=1)
 
 
@@ -60,7 +63,10 @@ def _power(B, u, n_iters):
     (growth <= p^4 per body — safe in f32).  One body therefore advances
     four plain power steps: same Krylov direction, ~2x fewer sequential
     ops."""
-    Bn = B / (jnp.max(jnp.abs(B), axis=(1, 2), keepdims=True) + _EPS)
+    Babs = jnp.abs(B)
+    bmax = jnp.max(jnp.max(Babs, axis=2, keepdims=True), axis=1,
+                   keepdims=True)
+    Bn = B / (bmax + _EPS)
     B2 = _matsq(Bn)
 
     def body(_, u):
