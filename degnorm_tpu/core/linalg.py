@@ -38,17 +38,27 @@ def _gram(A: jnp.ndarray) -> jnp.ndarray:
 
 
 def _power_iterate(B: jnp.ndarray, u0: jnp.ndarray, n_iters: int) -> jnp.ndarray:
-    """Dominant-eigenvector power iteration on batched PSD matrices.
+    """Dominant-eigenvector iteration on batched PSD matrices.
 
-    Keeps the previous iterate when the update collapses (all-zero B), so a
-    zero gene degrades to s=0 instead of NaN.
+    Same squared-operator pair-stepping scheme as the Pallas kernel
+    (ops/pallas_nmf.py::_power): normalize the Gram (PSD ⇒ normalized
+    spectral radius in [1, p]), square it once, and apply B² twice per loop
+    body without intermediate normalization — four plain power steps per
+    body with a ~2x shorter sequential chain.  Keeps the previous iterate
+    when the update collapses (all-zero B), so a zero gene degrades to s=0
+    instead of NaN.
     """
-    def body(_, u):
-        v = jnp.einsum("gpq,gq->gp", B, u, preferred_element_type=B.dtype)
-        nrm = jnp.linalg.norm(v, axis=-1, keepdims=True)
-        return jnp.where(nrm > _EPS, v / (nrm + _EPS), u)
+    bmax = jnp.max(jnp.abs(B), axis=(1, 2), keepdims=True)
+    Bn = B / (bmax + _EPS)
+    B2 = jnp.einsum("gik,gkj->gij", Bn, Bn, preferred_element_type=B.dtype)
 
-    return jax.lax.fori_loop(0, n_iters, body, u0)
+    def body(_, u):
+        v = jnp.einsum("gpq,gq->gp", B2, u, preferred_element_type=B.dtype)
+        w = jnp.einsum("gpq,gq->gp", B2, v, preferred_element_type=B.dtype)
+        nrm = jnp.linalg.norm(w, axis=-1, keepdims=True)
+        return jnp.where(nrm > _EPS, w / (nrm + _EPS), u)
+
+    return jax.lax.fori_loop(0, max(1, n_iters // 4), body, u0)
 
 
 def _eigh_dominant(B: jnp.ndarray) -> jnp.ndarray:
