@@ -26,11 +26,18 @@ _EPS = 1e-30
 
 
 def _power(B, u0, n_iters):
+    # squared-operator pair stepping, matching core/linalg.py::_power_iterate
+    bmax = jnp.max(jnp.abs(B), axis=(1, 2), keepdims=True)
+    Bn = B / (bmax + _EPS)
+    B2 = jnp.einsum("gik,gkj->gij", Bn, Bn)
+
     def body(_, u):
-        v = jnp.einsum("gpq,gq->gp", B, u)
-        nrm = jnp.linalg.norm(v, axis=-1, keepdims=True)
-        return jnp.where(nrm > _EPS, v / (nrm + _EPS), u)
-    return jax.lax.fori_loop(0, n_iters, body, u0)
+        v = jnp.einsum("gpq,gq->gp", B2, u)
+        w = jnp.einsum("gpq,gq->gp", B2, v)
+        nrm = jnp.linalg.norm(w, axis=-1, keepdims=True)
+        return jnp.where(nrm > _EPS, w / (nrm + _EPS), u)
+
+    return jax.lax.fori_loop(0, max(1, n_iters // 4), body, u0)
 
 
 def _rank1_sharded(A, u0, n_iters, axis):
