@@ -172,9 +172,14 @@ def baseline_select_bucket(
     bin_active0 = bin_ids[None, :] < n_bins0[:, None]
 
     def col_active_from(bin_active):
-        ext = jnp.concatenate(
-            [bin_active, jnp.zeros((G, 1), bool)], axis=1)
-        return hi & jnp.take_along_axis(ext, bin_id, axis=1)
+        # B unrolled compare-and-or passes instead of a (G, W) gather —
+        # take_along_axis lowers to a slow scatter/gather on TPU and this
+        # runs twice per trim round.  bin_id == b only holds on hi columns
+        # (padding uses the B sentinel), so the hi mask is implicit.
+        act = jnp.zeros_like(hi)
+        for b in range(B):
+            act = act | ((bin_id == b) & bin_active[:, b:b + 1])
+        return act
 
     def per_bin_sums(res):
         # res: (G, W) already masked to active columns; bins are few (20),
