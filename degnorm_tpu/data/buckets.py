@@ -66,6 +66,7 @@ def pack_buckets(
     pad_genes_to: int = 1,
     max_genes_per_bucket: int = 0,
     quantize_genes: bool = True,
+    max_bucket_bytes: int = 0,
 ) -> List[GeneBucket]:
     """Pack ragged (p x L_i) matrices into padded GeneBuckets.
 
@@ -88,12 +89,16 @@ def pack_buckets(
         groups.setdefault(w, []).append(i)
 
     buckets: List[GeneBucket] = []
+    itemsize = np.dtype(dtype).itemsize
     for w in sorted(groups):
         idxs = groups[w]
-        chunks = [idxs] if max_genes_per_bucket <= 0 else [
-            idxs[s:s + max_genes_per_bucket]
-            for s in range(0, len(idxs), max_genes_per_bucket)
-        ]
+        cap = max_genes_per_bucket if max_genes_per_bucket > 0 else len(idxs)
+        if max_bucket_bytes > 0:
+            # keep each padded (G, p, w) array under the device-memory cap
+            byte_cap = max(8, int(max_bucket_bytes // (p * w * itemsize)))
+            cap = min(cap, byte_cap)
+        chunks = [idxs[s:s + cap] for s in range(0, len(idxs), cap)] \
+            if cap < len(idxs) else [idxs]
         for chunk in chunks:
             g = len(chunk)
             g_pad = _round_up(g, max(pad_genes_to, 1))

@@ -111,6 +111,8 @@ class DegNormEngine:
             dtype=np.dtype(dtype.name),
             pad_genes_to=n_devices,
             max_genes_per_bucket=self.eng_cfg.max_genes_per_batch,
+            # device-memory guard, scaled by mesh size (gene axis shards)
+            max_bucket_bytes=6 * 1024 ** 3 * max(n_devices, 1),
         )
         def upload_form(F):
             # integral coverage bounded by int16 uploads at half the bytes
