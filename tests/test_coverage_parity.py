@@ -135,7 +135,8 @@ def synth_reads(rng, gene_df, exon_df, n=400, paired=False):
     return rows
 
 
-def run_reference(tmp_path, rows, gene_df, exon_df, paired):
+def run_reference(tmp_path, rows, gene_df, exon_df, paired,
+                  chrom_len=CHROM_LEN):
     """Drive the reference implementation on the same synthetic reads."""
     _stub_modules()
     from degnorm.reads import BamReadsProcessor
@@ -147,7 +148,7 @@ def run_reference(tmp_path, rows, gene_df, exon_df, paired):
     proc.save_dir = str(tmp_path / "ref_out")
     os.makedirs(proc.save_dir, exist_ok=True)
     proc.paired = paired
-    proc.header = pd.DataFrame({"chr": [CHROM], "length": [CHROM_LEN]})
+    proc.header = pd.DataFrame({"chr": [CHROM], "length": [chrom_len]})
 
     # reference filter semantics from load_chromosome_reads (reads.py:225-259)
     recs = [(q, p, c) for (q, p, c, nh, rnext) in rows
