@@ -17,8 +17,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_shapes(n_genes, p, widths=(1024, 4096), max_batch=2048):
-    """Replicate bench.py's dataset bucketing to predict kernel shapes."""
+def bench_shapes(n_genes, p, widths=(1024, 4096)):
+    """Replicate bench.py's dataset bucketing to predict kernel shapes
+    (one quantized batch per width at current engine defaults)."""
     import numpy as np
     from degnorm_tpu.data.buckets import _quantize_count
     rng = np.random.default_rng(7)
@@ -28,11 +29,8 @@ def bench_shapes(n_genes, p, widths=(1024, 4096), max_batch=2048):
     for w in widths:
         lo = 0 if w == min(widths) else max(x for x in widths if x < w)
         cnt = int(((lengths > lo) & (lengths <= w)).sum())
-        full, rem = divmod(cnt, max_batch)
-        if full:
-            shapes.append((max_batch, p, w))
-        if rem:
-            shapes.append((_quantize_count(rem), p, w))
+        if cnt:
+            shapes.append((_quantize_count(cnt), p, w))
     return sorted(set(shapes))
 
 
