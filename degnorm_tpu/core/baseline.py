@@ -145,7 +145,8 @@ def baseline_select_bucket(
     bail_zero_row = jnp.sum(rowsum_start > 0, axis=1) < p
 
     # ---- initial NMF, unclipped DI scores (nmf.py:245-258) ----
-    K0, E0, _ = nmf_masked(F, hi, **nmf_kwargs)
+    K0, E0, _ = nmf_masked(F, hi, gene_active=~(bail_low | bail_zero_row),
+                           **nmf_kwargs)
     est_rs0 = K0 * jnp.sum(E0, axis=1)[:, None]
     rho0 = 1 - rowsum_start / (est_rs0 + 1)
     bail_nonconv = jnp.median(1 - rho0, axis=1) > 1
@@ -231,7 +232,8 @@ def baseline_select_bucket(
         run_nmf = proceed & (n_hi_new >= 2)
         col_act_new = col_active_from(bin_active)
 
-        Kn, En, _ = nmf_masked(F, col_act_new, **nmf_kwargs)
+        Kn, En, _ = nmf_masked(F, col_act_new, gene_active=run_nmf,
+                               **nmf_kwargs)
         est_rs = Kn * jnp.sum(En, axis=1)[:, None]
         zero_row = jnp.min(est_rs, axis=1) == 0.0       # nmf.py:315-316
         update_rho = run_nmf & ~zero_row

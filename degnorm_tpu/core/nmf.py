@@ -31,6 +31,7 @@ def nmf_masked(
     method: str = "power",
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    gene_active=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the NMF-OA loop on a masked gene bucket.
 
@@ -40,6 +41,10 @@ def nmf_masked(
       nmf_iter: number of Lagrangian iterations (reference ``nmf_iter``).
       use_pallas: route through the fused VMEM-resident TPU kernel
         (ops/pallas_nmf.py) when shapes/dtype allow.
+      gene_active: optional (G,) bool; on the Pallas path, gene blocks with
+        no active genes skip the loop entirely (outputs zeroed — callers
+        must gate every consumer on their own masks, as the trim loop
+        does). The XLA path computes all genes regardless.
 
     Returns (K, E, u): rank-1 factors (G,p), (G,W) and the final unit left
     vector for warm starts. K, E are nonnegative (Perron orientation);
@@ -53,7 +58,8 @@ def nmf_masked(
                 F, mask, nmf_iter=nmf_iter,
                 power_iters_cold=power_iters_cold,
                 power_iters_warm=power_iters_warm,
-                interpret=pallas_interpret)
+                interpret=pallas_interpret,
+                gene_active=gene_active)
 
     m = mask.astype(F.dtype)
     A0 = F * m[:, None, :]

@@ -88,27 +88,37 @@ def _rank1(X, u0, n_iters):
     return u * s[:, None], v, u
 
 
-def _nmf_kernel(a0_ref, k_ref, e_ref, u_ref, lam_ref, *,
+def _nmf_kernel(act_ref, a0_ref, k_ref, e_ref, u_ref, lam_ref, *,
                 nmf_iter, power_cold, power_warm):
-    A0 = a0_ref[:]                                  # (BG, p, W)
-    BG, p, W = A0.shape
-    u0 = jnp.full((BG, p), 1.0 / (p ** 0.5), A0.dtype)
+    # Block-level early exit: the trim loop calls this with shrinking
+    # per-gene active sets; a block whose genes are all inactive skips the
+    # entire Lagrangian loop (outputs zeroed — callers gate on their own
+    # active masks, so the values are never consumed).
+    k_ref[:] = jnp.zeros(k_ref.shape, k_ref.dtype)
+    e_ref[:] = jnp.zeros(e_ref.shape, e_ref.dtype)
+    u_ref[:] = jnp.zeros(u_ref.shape, u_ref.dtype)
 
-    K, E, u = _rank1(A0, u0, power_cold)
-    lam_ref[:] = jnp.zeros_like(A0)
-    step = 1.0 / (nmf_iter ** 0.5)
+    @pl.when(jnp.max(act_ref[:]) > 0)
+    def _():
+        A0 = a0_ref[:]                                  # (BG, p, W)
+        BG, p, W = A0.shape
+        u0 = jnp.full((BG, p), 1.0 / (p ** 0.5), A0.dtype)
 
-    def body(_, carry):
-        K, E, u = carry
-        est = K[:, :, None] * E[:, None, :]
-        lam = jnp.maximum(lam_ref[:] - step * (est - A0), 0.0)
-        lam_ref[:] = lam
-        return _rank1(A0 + lam, u, power_warm)
+        K, E, u = _rank1(A0, u0, power_cold)
+        lam_ref[:] = jnp.zeros_like(A0)
+        step = 1.0 / (nmf_iter ** 0.5)
 
-    K, E, u = jax.lax.fori_loop(0, nmf_iter, body, (K, E, u))
-    k_ref[:] = K
-    e_ref[:] = E
-    u_ref[:] = u
+        def body(_, carry):
+            K, E, u = carry
+            est = K[:, :, None] * E[:, None, :]
+            lam = jnp.maximum(lam_ref[:] - step * (est - A0), 0.0)
+            lam_ref[:] = lam
+            return _rank1(A0 + lam, u, power_warm)
+
+        K, E, u = jax.lax.fori_loop(0, nmf_iter, body, (K, E, u))
+        k_ref[:] = K
+        e_ref[:] = E
+        u_ref[:] = u
 
 
 def pick_block_genes(G: int, p: int, W: int, dtype_bytes: int = 4) -> int:
@@ -130,8 +140,14 @@ def nmf_masked_pallas(
     power_iters_warm: int = 6,
     block_genes: Optional[int] = None,
     interpret: bool = False,
+    gene_active: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Drop-in replacement for core.nmf.nmf_masked (method="power")."""
+    """Drop-in replacement for core.nmf.nmf_masked (method="power").
+
+    ``gene_active``: optional (G,) bool — gene blocks whose genes are all
+    inactive skip the entire loop (their outputs are zeros; callers must
+    gate on their own active masks, which they already do for every state
+    update in the trim loop)."""
     G, p, W = F.shape
     A0 = F * mask.astype(F.dtype)[:, None, :]
     bg = block_genes or pick_block_genes(G, p, W)
@@ -139,6 +155,10 @@ def nmf_masked_pallas(
     G_pad = ((G + bg - 1) // bg) * bg
     if G_pad != G:
         A0 = jnp.pad(A0, ((0, G_pad - G), (0, 0), (0, 0)))
+    if gene_active is None:
+        act = jnp.ones((G_pad, 1), F.dtype)
+    else:
+        act = jnp.pad(gene_active.astype(F.dtype), (0, G_pad - G))[:, None]
 
     kernel = functools.partial(
         _nmf_kernel, nmf_iter=nmf_iter, power_cold=power_iters_cold,
@@ -147,8 +167,12 @@ def nmf_masked_pallas(
     K, E, u = pl.pallas_call(
         kernel,
         grid=(G_pad // bg,),
-        in_specs=[pl.BlockSpec((bg, p, W), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec((bg, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, p, W), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=(
             pl.BlockSpec((bg, p), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -164,7 +188,7 @@ def nmf_masked_pallas(
         ),
         scratch_shapes=[pltpu.VMEM((bg, p, W), F.dtype)],
         interpret=interpret,
-    )(A0)
+    )(act, A0)
     return K[:G], E[:G], u[:G]
 
 
