@@ -54,6 +54,9 @@ class BucketResult(NamedTuple):
     est_kind: jnp.ndarray     # (G,) int8, one of EST_INPUT/EST_CLIP/EST_RAW
     bailed: jnp.ndarray       # (G,) bool: returned defaults before NMF
     n_hi: jnp.ndarray         # (G,) int32 high-coverage column count
+    rounds_active: jnp.ndarray  # (G,) int32 trim rounds each gene stayed
+                                # active (drives cross-iteration gene
+                                # reordering for block-level skipping)
 
 
 class _TrimState(NamedTuple):
@@ -67,6 +70,7 @@ class _TrimState(NamedTuple):
     ran_bs: jnp.ndarray       # (G,) bool
     clipped: jnp.ndarray      # (G,) bool latest estimate was clipped
     rounds: jnp.ndarray       # () int32
+    rounds_active: jnp.ndarray  # (G,) int32
 
 
 def _floor_abs_k(K: jnp.ndarray) -> jnp.ndarray:
@@ -196,6 +200,7 @@ def baseline_select_bucket(
         ran_bs=jnp.zeros((G,), bool),
         clipped=jnp.zeros((G,), bool),
         rounds=jnp.zeros((), jnp.int32),
+        rounds_active=jnp.zeros((G,), jnp.int32),
     )
 
     def cond(st: _TrimState):
@@ -258,7 +263,9 @@ def baseline_select_bucket(
         return _TrimState(K=K, E=E, rho=rho, bin_active=bin_active,
                           n_hi=n_hi_new, n_bins=n_bins_new, active=active,
                           ran_bs=ran_bs, clipped=clipped,
-                          rounds=st.rounds + 1)
+                          rounds=st.rounds + 1,
+                          rounds_active=st.rounds_active
+                          + st.active.astype(jnp.int32))
 
     st = jax.lax.while_loop(cond, body, state0)
 
@@ -306,7 +313,7 @@ def baseline_select_bucket(
 
     return BucketResult(rho=rho_out, ran_bs=st.ran_bs, est_K=est_K,
                         est_E=est_E, est_kind=est_kind, bailed=bailed,
-                        n_hi=n_hi)
+                        n_hi=n_hi, rounds_active=st.rounds_active)
 
 
 def materialize_estimate(F_adj, length, est_K, est_E, est_kind):

@@ -239,6 +239,9 @@ class DegNormEngine:
                     scatter_rows(ran_bs[:, it], np.asarray(res.ran_bs),
                                  b.gene_indices)
                 state = outer.iteration_update(state, rho_raw)
+                if (it == start_iter
+                        and it + 1 < self.nmf_cfg.degnorm_iter):
+                    self._reorder_by_exit_round(results)
                 self.timings[f"iter_{it}"] = _time.perf_counter() - t_it
                 if checkpoint_dir:
                     from degnorm_tpu.pipeline.checkpoints import (
@@ -258,6 +261,25 @@ class DegNormEngine:
             norm_factors=state.norm_factors,
             ran_baseline_selection=ran_bs, x_weighted=state.x_weighted,
             engine=self)
+
+    def _reorder_by_exit_round(self, results: List[BucketResult]) -> None:
+        """Sort each bucket's genes by how many trim rounds they survived in
+        the first iteration.  Exit rounds are strongly correlated across
+        DegNorm iterations, so the still-active set in later iterations
+        becomes a contiguous suffix — letting the NMF kernel's block-level
+        early exit actually skip whole blocks (randomly ordered genes leave
+        almost every 64-gene block 'active')."""
+        for i, (b, res) in enumerate(zip(self._buckets, results)):
+            ra = np.asarray(res.rounds_active)
+            perm = np.argsort(ra, kind="stable")
+            if ra.max() == 0 or np.array_equal(perm, np.arange(len(perm))):
+                continue
+            pj = jnp.asarray(perm)
+            self._device_F[i] = jnp.take(self._device_F[i], pj, axis=0)
+            self._device_mask[i] = jnp.take(self._device_mask[i], pj, axis=0)
+            b.F = b.F[perm]
+            b.lengths = b.lengths[perm]
+            b.gene_indices = b.gene_indices[perm]
 
     # -- estimates -------------------------------------------------------
     def _materialize_estimates(self) -> List[np.ndarray]:
