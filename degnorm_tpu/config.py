@@ -106,6 +106,10 @@ class EngineConfig:
     # this directory (viewable with TensorBoard / xprof). The reference has
     # no tracing at all (SURVEY.md §5.1).
     profile_dir: Optional[str] = None
+    # Keep the outer-loop global updates on device (jnp twins of
+    # core/degnorm.py). None = auto: enabled when the mesh spans multiple
+    # processes (per-bucket results are then not host-materializable).
+    device_loop: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)

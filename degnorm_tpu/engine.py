@@ -53,6 +53,53 @@ def _bucket_step(F, len_mask, scale_factors, ds_start, nmf_cfg: NMFConfig,
 
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def _device_scatter(parts, idx_parts, n, fill):
+    """Scatter per-bucket per-gene rows into a global (n, ...) array on
+    device (padding slots land in a dropped n-th row)."""
+    shape = (n + 1,) + parts[0].shape[1:]
+    out = jnp.full(shape, fill, parts[0].dtype)
+    for part, idx in zip(parts, idx_parts):
+        safe = jnp.where(idx >= 0, idx, n)
+        out = out.at[safe].set(part)
+    return out[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _device_iteration_update(rho_parts, idx_parts, x_weighted,
+                             scale_factors, n):
+    """Device-resident twin of core.degnorm.iteration_update — used when the
+    mesh spans multiple processes and per-bucket results cannot be
+    materialized on any single host.  Cross-gene column sums become psums
+    over the gene shards; all outputs are (n, p)/(p,)-sized and replicated.
+    """
+    rho_raw = _device_scatter(rho_parts, idx_parts, n, 0.0)
+    rho = jnp.clip(rho_raw, 0.0, 0.9)
+    x_adj = x_weighted / (1 - rho)
+    non_bs = jnp.max(rho, axis=1) == 0
+    sample_avg = 1 - jnp.sum(x_weighted, axis=0) / jnp.sum(x_adj, axis=0)
+    rho = jnp.where(non_bs[:, None], sample_avg[None, :], rho)
+    x_adj = x_weighted / (1 - rho)
+    col = jnp.sum(x_adj, axis=0)
+    norm = col / jnp.median(col)
+    return rho, x_adj, x_weighted / norm, norm, scale_factors * norm
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _device_init_state(cov_parts, est_parts, idx_parts, x, n):
+    """Device-resident twin of init_state + rho_from_ratio_svd
+    (nmf.py:512-535)."""
+    cov_sums = _device_scatter(cov_parts, idx_parts, n, 0.0)
+    est_sums = _device_scatter(est_parts, idx_parts, n, 0.0)
+    rho = 1 - cov_sums / (est_sums + 1)
+    low_di = jnp.max(rho, axis=1) < 0.1
+    any_low = jnp.any(low_di)
+    count_sums = jnp.where(
+        any_low, jnp.sum(x * low_di[:, None], axis=0), jnp.sum(x, axis=0))
+    norm = count_sums / jnp.median(count_sums)
+    return x / norm, norm
+
+
 @functools.partial(jax.jit, static_argnames=("eng_cfg",))
 def _bucket_init(F, len_mask, eng_cfg: EngineConfig):
     """Initialization: ratio-SVD row sums on the raw coverage
@@ -180,6 +227,13 @@ class DegNormEngine:
         dtype = jnp.dtype(self.eng_cfg.dtype)
         self.timings = {"pack": _time.perf_counter() - t0}
 
+        device_loop = (self.eng_cfg.device_loop
+                       if self.eng_cfg.device_loop is not None
+                       else (self.mesh is not None
+                             and jax.process_count() > 1))
+        if device_loop:
+            return self._run_device_loop(genes, cov_mats, x, n, p, dtype)
+
         # ---- resume from checkpoint? ----
         start_iter = 0
         state = None
@@ -262,6 +316,80 @@ class DegNormEngine:
             ran_baseline_selection=ran_bs, x_weighted=state.x_weighted,
             engine=self)
 
+    # -- device-resident outer loop (multi-process / opt-in) -------------
+    def _gather(self, arr) -> np.ndarray:
+        """Materialize a device array on every process (allgather when the
+        mesh spans processes; plain transfer otherwise)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            return np.asarray(
+                multihost_utils.process_allgather(arr, tiled=True))
+        return np.asarray(arr)
+
+    def _run_device_loop(self, genes, cov_mats, x, n, p, dtype
+                         ) -> DegNormResult:
+        """Outer loop with all global updates on device (jnp twins of
+        core/degnorm.py).  Required when the gene mesh spans multiple
+        processes: per-bucket results are sharded across hosts and cannot
+        be materialized locally.  Cross-gene column sums become psums over
+        the gene shards; only the final (n, p) matrices are gathered.
+
+        Notes vs the host loop: updates run in the engine dtype (not
+        float64) and per-iteration checkpointing is unavailable."""
+        import time as _time
+        idx_parts = tuple(
+            jnp.asarray(np.asarray(b.gene_indices, np.int32))
+            for b in self._buckets)
+        x_d = jnp.asarray(x, dtype)
+
+        t0 = _time.perf_counter()
+        init_out = [_bucket_init(F_d, m_d, self.eng_cfg)
+                    for F_d, m_d in zip(self._device_F, self._device_mask)]
+        x_weighted, norm = _device_init_state(
+            tuple(cs.astype(dtype) for cs, _ in init_out),
+            tuple(es.astype(dtype) for _, es in init_out),
+            idx_parts, x_d, n)
+        scale = norm
+        self.timings["init"] = _time.perf_counter() - t0
+
+        ran_cols = []
+        rho = x_adj = None
+        t0 = _time.perf_counter()
+        for it in range(self.nmf_cfg.degnorm_iter):
+            t_it = _time.perf_counter()
+            final = it == self.nmf_cfg.degnorm_iter - 1
+            results = [
+                _bucket_step(F_d, m_d, scale.astype(dtype),
+                             self._ds_starts(b, it),
+                             self.nmf_cfg.kernel_key(), self.eng_cfg,
+                             with_estimates=final)
+                for b, F_d, m_d in zip(self._buckets, self._device_F,
+                                       self._device_mask)]
+            rho, x_adj, x_weighted, norm, scale = _device_iteration_update(
+                tuple(r.rho for r in results), idx_parts, x_weighted,
+                scale, n)
+            ran_cols.append(_device_scatter(
+                tuple(r.ran_bs for r in results), idx_parts, n, False))
+            self.timings[f"iter_{it}"] = _time.perf_counter() - t_it
+        self.timings["iterations"] = _time.perf_counter() - t0
+
+        self._last_results = results
+        self._final_scale = (self._gather(scale)
+                             / self._gather(norm)).astype(np.float64)
+        self._genes = genes
+        self._cov_mats = cov_mats
+
+        ran_bs = np.stack([self._gather(c) for c in ran_cols], axis=1)
+        return DegNormResult(
+            genes=genes,
+            rho=self._gather(rho).astype(np.float64),
+            x_adj=self._gather(x_adj).astype(np.float64),
+            scale_factors=self._gather(scale).astype(np.float64),
+            norm_factors=self._gather(norm).astype(np.float64),
+            ran_baseline_selection=ran_bs,
+            x_weighted=self._gather(x_weighted).astype(np.float64),
+            engine=self)
+
     def _reorder_by_exit_round(self, results: List[BucketResult]) -> None:
         """Sort each bucket's genes by how many trim rounds they survived in
         the first iteration.  Exit rounds are strongly correlated across
@@ -291,9 +419,9 @@ class DegNormEngine:
         n = len(self._genes)
         out: List[Optional[np.ndarray]] = [None] * n
         for b, res in zip(self._buckets, self._last_results):
-            est_K = np.asarray(res.est_K, np.float64)
-            est_E = np.asarray(res.est_E, np.float64)
-            kinds = np.asarray(res.est_kind)
+            est_K = self._gather(res.est_K).astype(np.float64)
+            est_E = self._gather(res.est_E).astype(np.float64)
+            kinds = self._gather(res.est_kind)
             for slot, gi in enumerate(b.gene_indices):
                 if gi < 0:
                     continue

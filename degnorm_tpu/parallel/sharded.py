@@ -45,11 +45,16 @@ def gene_sharding(mesh: Mesh, ndim: int, axis: str = "genes") -> NamedSharding:
 
 def shard_bucket(F: np.ndarray, len_mask: np.ndarray, mesh: Mesh,
                  axis: str = "genes") -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Place a padded bucket on the mesh, genes split across devices."""
-    return (
-        jax.device_put(F, gene_sharding(mesh, 3, axis)),
-        jax.device_put(len_mask, gene_sharding(mesh, 2, axis)),
-    )
+    """Place a padded bucket on the mesh, genes split across devices.
+
+    Uses make_array_from_callback so it works when the mesh spans multiple
+    processes (each process materializes only its addressable shards; the
+    host arrays are present on every process — ETL is replicated)."""
+    def put(arr, ndim):
+        sh = gene_sharding(mesh, ndim, axis)
+        return jax.make_array_from_callback(
+            arr.shape, sh, lambda idx: arr[idx])
+    return put(F, 3), put(len_mask, 2)
 
 
 @functools.partial(jax.jit, static_argnames=("nmf_cfg", "eng_cfg"))

@@ -50,3 +50,34 @@ def test_mesh_engine_matches_single_device():
     np.testing.assert_allclose(meshed.x_adj, plain.x_adj, rtol=1e-12)
     for a, b in zip(meshed.estimates(), plain.estimates()):
         np.testing.assert_allclose(a, b, rtol=1e-10)
+
+
+def test_device_loop_matches_host_loop():
+    """The device-resident outer loop (multi-process mode) must match the
+    host float64 loop."""
+    cov, X = make_dataset(seed=14)
+    host = DegNormEngine(CFG, ENG).run(cov, X)
+    dev = DegNormEngine(
+        CFG, EngineConfig(rank1_method="power", dtype="float64",
+                          bucket_widths=(256, 512, 1024),
+                          device_loop=True)).run(cov, X)
+    np.testing.assert_allclose(dev.rho, host.rho, rtol=1e-12)
+    np.testing.assert_allclose(dev.x_adj, host.x_adj, rtol=1e-12)
+    np.testing.assert_allclose(dev.scale_factors, host.scale_factors,
+                               rtol=1e-12)
+    np.testing.assert_array_equal(dev.ran_baseline_selection,
+                                  host.ran_baseline_selection)
+    for a, b in zip(dev.estimates(), host.estimates()):
+        np.testing.assert_allclose(a, b, rtol=1e-10)
+
+
+def test_device_loop_on_mesh():
+    cov, X = make_dataset(seed=15)
+    host = DegNormEngine(CFG, ENG).run(cov, X)
+    dev = DegNormEngine(
+        CFG, EngineConfig(rank1_method="power", dtype="float64",
+                          bucket_widths=(256, 512, 1024),
+                          device_loop=True),
+        mesh=make_mesh()).run(cov, X)
+    np.testing.assert_allclose(dev.rho, host.rho, rtol=1e-12)
+    np.testing.assert_allclose(dev.x_adj, host.x_adj, rtol=1e-12)
