@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep reads with NH > 1")
     p.add_argument("-p", "--proc-per-node", type=int, default=1,
                    help="host threads for ETL")
+    p.add_argument("--stream-etl", default=None, choices=["auto", "on", "off"],
+                   help="BAI-driven per-chromosome streaming ETL "
+                        "(memory bounded by the largest chromosome); "
+                        "default auto: stream large indexed BAMs")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (DEGNORM_TPU_* env "
                         "vars) and shard genes over all hosts' devices")
@@ -109,6 +113,8 @@ def parse_config(argv: Optional[List[str]] = None,
         warm_start_dir=args.warm_start_dir,
         minimax_coverage=args.minimax_coverage,
         unique_alignments=not args.non_unique_alignments,
+        stream_etl={"on": True, "off": False,
+                    "auto": None, None: None}[args.stream_etl],
         n_jobs=args.proc_per_node,
         nmf=nmf, engine=eng)
     return (cfg, args) if return_args else cfg

@@ -90,6 +90,17 @@ class EngineConfig:
     use_pallas: bool = True
     # Run the Pallas kernel in interpreter mode (CPU testing only).
     pallas_interpret: bool = False
+    # Fuse the entire baseline-selection trim loop (residual scoring, bin
+    # dropping, NMF, DI refresh) into one VMEM-resident Pallas kernel per
+    # gene block (ops/pallas_trim.py) instead of the XLA while_loop around
+    # per-round NMF kernel calls. The XLA loop remains the parity target.
+    fuse_trim: bool = True
+    # Gram-contraction implementation inside the Pallas kernel (the
+    # dominant FLOPs of every rank-1 fit): "vpu" = unrolled row
+    # reductions, "mxu" = gene-packed 128-row MXU matmul (f32),
+    # "mxu_bf16" = same with bf16 products / f32 accumulation,
+    # "auto" = mxu_bf16 on hardware, vpu in interpret mode.
+    gram_mode: str = "auto"
     # Computation dtype on device. float32 is TPU-native; the golden oracle
     # runs float64 on host for parity gating.
     dtype: str = "float32"
@@ -133,6 +144,11 @@ class PipelineConfig:
     # implementation's parser quirks exactly (needed for bitwise coverage
     # parity); "strict" follows the SAM spec (io/coverage.py docstring).
     cigar_compat: str = "reference"
+    # BAI-driven per-chromosome streaming ETL: None = auto (stream when an
+    # index exists and the BAM exceeds BamSampleProcessor.STREAM_THRESHOLD),
+    # True/False = force. Streaming bounds host memory by the largest
+    # chromosome instead of the whole file.
+    stream_etl: Optional[bool] = None
     n_jobs: int = 1
     nmf: NMFConfig = dataclasses.field(default_factory=NMFConfig)
     engine: EngineConfig = dataclasses.field(default_factory=EngineConfig)

@@ -125,6 +125,7 @@ def baseline_select_bucket(
         method=eng_cfg.rank1_method,
         use_pallas=use_pallas,
         pallas_interpret=eng_cfg.pallas_interpret,
+        gram_mode=eng_cfg.gram_mode,
     )
 
     # ---- high-coverage mask (nmf.py:66-76,220) ----
@@ -203,6 +204,32 @@ def baseline_select_bucket(
         rounds_active=jnp.zeros((G,), jnp.int32),
     )
 
+    use_fused = use_pallas and eng_cfg.fuse_trim
+    if use_fused:
+        from degnorm_tpu.ops.pallas_trim import (fused_trim_supported,
+                                                 trim_loop_pallas)
+        use_fused = fused_trim_supported(F.shape, dtype)
+    if use_fused:
+        # Entire trim loop in one VMEM-resident kernel per gene block; the
+        # lax.while_loop below is its semantic reference (the kernel's
+        # interpret mode is compared against it in tests/test_pallas.py).
+        K_t, rho_t, ran_bs_t, rounds_t = trim_loop_pallas(
+            Fm, bin_id, bin_count, K0, E0, rho0,
+            n_hi, n_bins0, state0.active,
+            nmf_iter=nmf_cfg.nmf_iter,
+            power_iters_cold=eng_cfg.power_iters_cold,
+            power_iters_warm=eng_cfg.power_iters_warm,
+            gram_mode=eng_cfg.gram_mode,
+            max_rounds=nmf_cfg.max_trim_rounds,
+            min_bins=nmf_cfg.min_bins,
+            min_gene_len=nmf_cfg.min_gene_len,
+            interpret=eng_cfg.pallas_interpret)
+        st = state0._replace(K=K_t, rho=rho_t, ran_bs=ran_bs_t,
+                             rounds_active=rounds_t)
+        return _finalize_bucket(F, Fm, lm_f, hi_f, len_mask, K0, E0, rho0,
+                                rowsum_start, n_hi, bailed, entered, st,
+                                dtype, with_estimates)
+
     def cond(st: _TrimState):
         return jnp.any(st.active) & (st.rounds < nmf_cfg.max_trim_rounds)
 
@@ -268,6 +295,18 @@ def baseline_select_bucket(
                           + st.active.astype(jnp.int32))
 
     st = jax.lax.while_loop(cond, body, state0)
+    return _finalize_bucket(F, Fm, lm_f, hi_f, len_mask, K0, E0, rho0,
+                            rowsum_start, n_hi, bailed, entered, st,
+                            dtype, with_estimates)
+
+
+def _finalize_bucket(F, Fm, lm_f, hi_f, len_mask, K0, E0, rho0,
+                     rowsum_start, n_hi, bailed, entered, st,
+                     dtype, with_estimates) -> BucketResult:
+    """Post-trim-loop refit / revert (nmf.py:327-365), shared by the XLA
+    while_loop and the fused Pallas trim kernel (only st.K / st.rho /
+    st.ran_bs / st.rounds_active are consumed from the loop state)."""
+    G, p, W = F.shape
 
     # ---- post-loop refit / revert (nmf.py:327-353) ----
     conv = jnp.max(st.rho, axis=1) < 0.2

@@ -32,6 +32,7 @@ def nmf_masked(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     gene_active=None,
+    gram_mode: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the NMF-OA loop on a masked gene bucket.
 
@@ -59,7 +60,8 @@ def nmf_masked(
                 power_iters_cold=power_iters_cold,
                 power_iters_warm=power_iters_warm,
                 interpret=pallas_interpret,
-                gene_active=gene_active)
+                gene_active=gene_active,
+                gram_mode=gram_mode)
 
     m = mask.astype(F.dtype)
     A0 = F * m[:, None, :]

@@ -128,6 +128,44 @@ def write_bai(path: str,
         f.write(b"".join(out))
 
 
+def index_bam(bam_path: str, bai_path: str = None) -> str:
+    """Build a .bai for an existing BAM — the native replacement for the
+    reference's ``samtools index`` shell-out (utils.py:149-173).  Walks the
+    BGZF block table to assign each record its virtual-offset chunk, with
+    SAM-spec reference lengths (M/D/N/=/X) for binning."""
+    import numpy as np
+    from degnorm_tpu.io import bam as bamio
+
+    with open(bam_path, "rb") as f:
+        raw = f.read()
+    data, table = bgzf.decompress_with_table(raw)
+    hdr, off = bamio._parse_header(data)
+    per_ref = [[] for _ in hdr.ref_names]
+    n = len(data)
+    while off + 4 <= n:
+        bs = struct.unpack_from("<i", data, off)[0]
+        start = off + 4
+        refID, pos = struct.unpack_from("<ii", data, start)
+        lrn = data[start + 8]
+        n_cigar = struct.unpack_from("<H", data, start + 12)[0]
+        flag = struct.unpack_from("<H", data, start + 14)[0]
+        end_off = start + bs
+        if 0 <= refID < len(per_ref) and not (flag & 0x4):
+            cig = np.frombuffer(data, "<u4", n_cigar, start + 32 + lrn)
+            ops = cig & 0xF
+            ref_len = int((cig >> 4)[(ops == 0) | (ops == 2) | (ops == 3)
+                                     | (ops == 7) | (ops == 8)].sum())
+            per_ref[refID].append(
+                (pos, pos + max(ref_len, 1),
+                 bgzf.virtual_offset(table, off),
+                 bgzf.virtual_offset(table, end_off)))
+        off = end_off
+    if bai_path is None:
+        bai_path = bam_path + ".bai"
+    write_bai(bai_path, per_ref)
+    return bai_path
+
+
 def read_bai(path: str) -> BaiIndex:
     with open(path, "rb") as f:
         buf = f.read()
@@ -163,25 +201,32 @@ def fetch_region_bytes(bam_path: str, index: BaiIndex, tid: int,
                        beg: int = 0, end: int = 1 << 29) -> bytes:
     """Inflate only the BGZF blocks covering a region's chunks; returns the
     concatenated uncompressed byte range per chunk (callers slice records
-    out of it).  Virtual offset = (compressed_block_start << 16) | intra."""
-    with open(bam_path, "rb") as f:
-        raw = f.read()
-    view = memoryview(raw)
+    out of it).  Virtual offset = (compressed_block_start << 16) | intra.
+
+    Memory-bounded: seeks to each chunk and reads only its compressed span
+    (+ one max-size BGZF block of slack for the final block), so fetching
+    one chromosome of a large BAM never loads the whole file — this is
+    what lets the ETL stream per-chromosome (pipeline/sample.py)."""
     out = []
-    for vs, ve in index.chunks_for(tid, beg, end):
-        coff, intra = vs >> 16, vs & 0xFFFF
-        coff_end, intra_end = ve >> 16, ve & 0xFFFF
-        pos = coff
-        datas = []
-        while pos <= coff_end and pos < len(raw):
-            data, nxt = bgzf._read_block(view, pos)
-            if pos == coff_end:
-                data = data[:intra_end]
-            if pos == coff:
-                data = data[intra:]
-            datas.append(data)
-            if pos == coff_end:
-                break
-            pos = nxt
-        out.append(b"".join(datas))
+    with open(bam_path, "rb") as f:
+        for vs, ve in index.chunks_for(tid, beg, end):
+            coff, intra = vs >> 16, vs & 0xFFFF
+            coff_end, intra_end = ve >> 16, ve & 0xFFFF
+            f.seek(coff)
+            raw = f.read((coff_end - coff) + (1 << 16) + 64)
+            view = memoryview(raw)
+            rel_end = coff_end - coff
+            pos = 0
+            datas = []
+            while pos <= rel_end and pos < len(raw):
+                data, nxt = bgzf._read_block(view, pos)
+                if pos == rel_end:
+                    data = data[:intra_end]
+                if pos == 0:
+                    data = data[intra:]
+                datas.append(data)
+                if pos == rel_end:
+                    break
+                pos = nxt
+            out.append(b"".join(datas))
     return b"".join(out)

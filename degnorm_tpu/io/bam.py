@@ -366,6 +366,68 @@ def write_bam(path: str, ref_names: Sequence[str],
         write_bai(index_path, per_ref)
 
 
+def read_head_qnames(path: str, n_records: int = 301) -> List[str]:
+    """Query names of the first ``n_records`` mapped records, inflating
+    BGZF blocks incrementally — the pairedness sniff (reference
+    reads.py:178-203) without decoding the whole file (streaming ETL)."""
+    qnames: List[str] = []
+    data = bytearray()
+    hdr_end = None
+    parse_from = None
+    off = 0
+    with open(path, "rb") as f:
+        raw = bytearray()
+        while len(qnames) < n_records:
+            chunk = f.read(1 << 20)
+            if chunk:
+                raw.extend(chunk)
+            view = memoryview(raw)
+            # inflate every complete block available
+            progressed = False
+            while off + 18 <= len(raw):
+                xlen = struct.unpack_from("<H", view, off + 10)[0]
+                extra = bytes(view[off + 12: off + 12 + xlen])
+                bsize = None
+                i = 0
+                while i + 4 <= len(extra):
+                    si1, si2, slen = extra[i], extra[i + 1], \
+                        struct.unpack_from("<H", extra, i + 2)[0]
+                    if si1 == 66 and si2 == 67 and slen == 2:
+                        bsize = struct.unpack_from("<H", extra, i + 4)[0] + 1
+                        break
+                    i += 4 + slen
+                if bsize is None or off + bsize > len(raw):
+                    break
+                blk, off = bgzf._read_block(view, off)
+                data.extend(blk)
+                progressed = True
+            if hdr_end is None and len(data) >= 12:
+                try:
+                    _, hdr_end = _parse_header(bytes(data))
+                except (struct.error, IndexError):
+                    pass
+            if hdr_end is not None:
+                # parse newly complete records (parse_from persists)
+                if parse_from is None:
+                    parse_from = hdr_end
+                buf = bytes(data)
+                p = parse_from
+                while p + 4 <= len(buf) and len(qnames) < n_records:
+                    bs = struct.unpack_from("<i", buf, p)[0]
+                    if p + 4 + bs > len(buf):
+                        break
+                    flag = struct.unpack_from("<H", buf, p + 4 + 14)[0]
+                    lrn = buf[p + 4 + 8]
+                    if not (flag & FLAG_UNMAPPED):
+                        qnames.append(
+                            buf[p + 4 + 32: p + 4 + 32 + lrn - 1].decode())
+                    p = p + 4 + bs
+                parse_from = p
+            if not chunk and not progressed:
+                break
+    return qnames[:n_records]
+
+
 def read_bam_region(path: str, bai_path: str, tid: int,
                     beg: int = 0, end: int = 1 << 29,
                     drop_unmapped: bool = True

@@ -62,6 +62,25 @@ def decompress_file(path: str) -> bytes:
         return decompress(f.read())
 
 
+def decompress_with_table(raw: bytes):
+    """Inflate a whole BGZF byte string and return (data, table) where
+    table = [(uncompressed_start, compressed_start, uncompressed_len), ...]
+    — the read-side counterpart of ``compress_with_table``, enabling
+    uncompressed-offset → virtual-offset mapping (BAI construction)."""
+    out = []
+    table = []
+    view = memoryview(raw)
+    off = 0
+    u_off = 0
+    while off < len(raw):
+        data, nxt = _read_block(view, off)
+        table.append((u_off, off, len(data)))
+        out.append(data)
+        u_off += len(data)
+        off = nxt
+    return b"".join(out), table
+
+
 def _write_block(payload: bytes) -> bytes:
     comp = zlib.compressobj(6, zlib.DEFLATED, -15)
     cdata = comp.compress(payload) + comp.flush()

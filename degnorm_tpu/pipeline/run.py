@@ -144,10 +144,13 @@ def _cold_start(cfg: PipelineConfig, output_dir: str):
     if not cfg.genome_annotation:
         raise ValueError("no genome annotation (.gtf) supplied")
 
+    bais = (list(cfg.bai_files) if cfg.bai_files
+            else [None] * len(cfg.bam_files))
     samples = [BamSampleProcessor(b, unique_alignment=cfg.unique_alignments,
                                   output_dir=output_dir,
-                                  compat=cfg.cigar_compat)
-               for b in cfg.bam_files]
+                                  compat=cfg.cigar_compat,
+                                  bai_file=bai, stream=cfg.stream_etl)
+               for b, bai in zip(cfg.bam_files, bais)]
     sample_ids = [s.sample_id for s in samples]
     if len(set(sample_ids)) < len(sample_ids):
         raise ValueError("duplicate sample IDs among .bam files")

@@ -22,9 +22,18 @@ class BamSampleProcessor:
     """Loads one .bam, sniffs pairedness, and computes per-chromosome
     coverage + read counts."""
 
+    #: default whole-file decode threshold for auto streaming (bytes).
+    STREAM_THRESHOLD = 512 << 20
+
     def __init__(self, bam_file: str, chroms: Optional[Sequence[str]] = None,
                  unique_alignment: bool = True, output_dir: Optional[str] = None,
-                 compat: str = "reference"):
+                 compat: str = "reference", bai_file: Optional[str] = None,
+                 stream: Optional[bool] = None):
+        """``stream``: fetch reads per chromosome through the .bai index
+        (memory-bounded; reference-equivalent of pysam's indexed fetch,
+        reads.py:225) instead of decoding the whole BAM up front.  None =
+        auto: stream when an index exists and the file exceeds
+        ``STREAM_THRESHOLD``."""
         self.filename = bam_file
         self.sample_id = ".".join(os.path.basename(bam_file).split(".")[:-1])
         self.unique_alignment = unique_alignment
@@ -32,6 +41,23 @@ class BamSampleProcessor:
         self.output_dir = output_dir
         self.save_dir = (os.path.join(output_dir, self.sample_id)
                          if output_dir else None)
+
+        if bai_file is None:
+            for cand in (bam_file + ".bai",
+                         os.path.splitext(bam_file)[0] + ".bai"):
+                if os.path.isfile(cand):
+                    bai_file = cand
+                    break
+        if stream is None:
+            stream = os.path.getsize(bam_file) > self.STREAM_THRESHOLD
+        if stream and bai_file is None:
+            # native samtools-index equivalent (reference utils.py:149-173)
+            from degnorm_tpu.io.bai import index_bam
+            log.info("SAMPLE %s: building missing .bai index", self.sample_id)
+            bai_file = index_bam(bam_file)
+        self.bai_file = bai_file
+        self.stream = bool(stream and bai_file is not None)
+        self._bai_index = None
 
         self.header = bamio.read_header(bam_file)
         names = self.header.ref_names
@@ -54,7 +80,13 @@ class BamSampleProcessor:
     def _sniff_paired(self) -> bool:
         """Pairedness heuristic from the first 301 query names on the first
         chromosome: all qnames end in '.1'/'.2' (reference reads.py:178-203).
-        """
+        In streaming mode the sniff reads BGZF blocks incrementally from
+        the file head instead of triggering a whole-file decode."""
+        if self.stream:
+            qnames = bamio.read_head_qnames(self.filename, 301)
+            if not qnames:
+                return False
+            return {q.split(".")[-1] for q in qnames} == {"1", "2"}
         self._load_all()
         first_tid = self.header.ref_names.index(self.chroms[0]) \
             if self.chroms else 0
@@ -65,13 +97,24 @@ class BamSampleProcessor:
         tokens = {q.split(".")[-1] for q in qnames}
         return tokens == {"1", "2"}
 
+    def _chrom_cols(self, tid: int) -> bamio.ReadColumns:
+        if self.stream:
+            from degnorm_tpu.io import bai as baiio
+            if self._bai_index is None:
+                self._bai_index = baiio.read_bai(self.bai_file)
+            blob = baiio.fetch_region_bytes(
+                self.filename, self._bai_index, tid, 0,
+                self.header.ref_lengths[tid])
+            return bamio._parse_records(blob, tid=tid)
+        self._load_all()
+        cols = self._cols_by_tid.get(tid)
+        return cols if cols is not None else _empty_cols()
+
     def chromosome_coverage(self, chrom: str, chrom_gene_df, chrom_exon_df,
                             overlap_dat) -> ChromCoverage:
         tid = self.header.ref_names.index(chrom)
         chrom_len = self.header.ref_lengths[tid]
-        cols = self._cols_by_tid.get(tid)
-        if cols is None:
-            cols = _empty_cols()
+        cols = self._chrom_cols(tid)
         return chromosome_coverage_read_counts(
             cols, chrom, chrom_len, chrom_gene_df, chrom_exon_df,
             overlap_dat, paired=self.paired,
@@ -82,7 +125,8 @@ class BamSampleProcessor:
                              n_jobs: int = 1) -> Dict[str, ChromCoverage]:
         """All chromosomes (threaded), optionally persisting reference-layout
         artifacts for resume (reads.py:368-386 semantics)."""
-        self._load_all()
+        if not self.stream:
+            self._load_all()
         results: Dict[str, ChromCoverage] = {}
 
         def work(chrom):

@@ -66,3 +66,69 @@ def test_region_fetch_window(indexed_bam):
     expect = {q for q, p in zip(all_cols.qnames, all_cols.pos)
               if beg <= p < end}
     assert set(win.qnames) == expect
+
+
+def test_index_bam_matches_write_time_index(indexed_bam, tmp_path):
+    """Post-hoc indexing of an existing BAM (the native samtools-index
+    equivalent) must yield identical region fetches to the index written
+    at BAM-creation time."""
+    from degnorm_tpu.io.bai import index_bam
+
+    bam, bai = indexed_bam
+    bai2 = str(tmp_path / "rebuilt.bai")
+    index_bam(bam, bai2)
+    for tid in (0, 1):
+        _, a = bamio.read_bam_region(bam, bai, tid=tid)
+        _, b = bamio.read_bam_region(bam, bai2, tid=tid)
+        assert list(a.qnames) == list(b.qnames)
+        np.testing.assert_array_equal(a.pos, b.pos)
+
+
+def test_read_head_qnames(indexed_bam):
+    bam, _ = indexed_bam
+    _, cols = bamio.read_bam(bam, native=False)
+    head = bamio.read_head_qnames(bam, 50)
+    assert head == list(cols.qnames[:50])
+    # asking beyond EOF returns everything
+    assert bamio.read_head_qnames(bam, 10 ** 6) == list(cols.qnames)
+
+
+def test_streaming_sample_processor_matches_whole_file(indexed_bam, tmp_path):
+    """BAI-driven per-chromosome streaming ETL (pipeline/sample.py) must be
+    byte-identical to the whole-file decode path."""
+    import pandas as pd
+    from degnorm_tpu.pipeline.sample import BamSampleProcessor
+
+    bam, bai = indexed_bam
+    gene_rows, exon_rows = [], []
+    for chrom in ("c1", "c2"):
+        pass
+    # build annotation from the simulated genes deterministically
+    rng = np.random.default_rng(9)
+    g1 = make_genes(rng, chrom="c1", n_genes=5, name_prefix="a.")
+    g2 = make_genes(rng, chrom="c2", n_genes=4, name_prefix="b.")
+    for genes in (g1, g2):
+        for g in genes:
+            gene_rows.append((g.chrom, g.name,
+                              min(s for s, _ in g.exons),
+                              max(e for _, e in g.exons)))
+            for s, e in g.exons:
+                exon_rows.append((g.chrom, g.name, s, e))
+    gene_df = pd.DataFrame(gene_rows,
+                           columns=["chr", "gene", "gene_start", "gene_end"])
+    exon_df = pd.DataFrame(exon_rows, columns=["chr", "gene", "start", "end"])
+    overlap = {c: {"overlap_genes": [],
+                   "isolated_genes": list(gene_df[gene_df.chr == c].gene)}
+               for c in ("c1", "c2")}
+
+    whole = BamSampleProcessor(bam, stream=False)
+    streamed = BamSampleProcessor(bam, stream=True)
+    assert streamed.stream and streamed.bai_file == bai
+    assert streamed.paired == whole.paired
+
+    r_w = whole.coverage_read_counts(overlap, gene_df, exon_df)
+    r_s = streamed.coverage_read_counts(overlap, gene_df, exon_df)
+    for chrom in ("c1", "c2"):
+        assert r_s[chrom].read_counts == r_w[chrom].read_counts
+        np.testing.assert_array_equal(r_s[chrom].isolated_coverage,
+                                      r_w[chrom].isolated_coverage)

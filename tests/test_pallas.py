@@ -31,6 +31,40 @@ def test_pallas_nmf_matches_xla():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("gram_mode", ["vpu", "mxu"])
+def test_fused_trim_matches_xla(gram_mode):
+    """The fully fused trim-loop kernel (ops/pallas_trim.py, interpret
+    mode) must reproduce the XLA while_loop's decisions bit-for-bit and
+    its numerics at float32 tolerance, for both Gram implementations."""
+    rng = np.random.default_rng(46)
+    mats = []
+    for i, L in enumerate((200, 256, 180, 230, 140, 250, 210, 160)):
+        mats.append(random_coverage(rng, 4, L, degraded=(i % 2 == 0)
+                                    ).astype(np.float32))
+    F, mask = make_bucket(mats, 256, dtype=np.float32)
+    cfg = NMFConfig(nmf_iter=12)
+    r_xla = baseline_select_bucket(
+        F, mask, cfg, EngineConfig(use_pallas=False))
+    r_fused = baseline_select_bucket(
+        F, mask, cfg, EngineConfig(use_pallas=True, pallas_interpret=True,
+                                   fuse_trim=True, gram_mode=gram_mode))
+    assert int(np.asarray(r_xla.ran_bs).sum()) > 0, "trim loop never ran"
+    np.testing.assert_array_equal(np.asarray(r_xla.ran_bs),
+                                  np.asarray(r_fused.ran_bs))
+    np.testing.assert_array_equal(np.asarray(r_xla.rounds_active),
+                                  np.asarray(r_fused.rounds_active))
+    np.testing.assert_array_equal(np.asarray(r_xla.est_kind),
+                                  np.asarray(r_fused.est_kind))
+    np.testing.assert_allclose(np.asarray(r_fused.rho),
+                               np.asarray(r_xla.rho), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r_fused.est_K),
+                               np.asarray(r_xla.est_K),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(r_fused.est_E),
+                               np.asarray(r_xla.est_E),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_baseline_bucket_with_pallas_path():
     """The whole trim kernel with the fused NMF inside (interpret mode)
     must match the plain XLA path at float32 tolerance."""
