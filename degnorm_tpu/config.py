@@ -95,6 +95,15 @@ class EngineConfig:
     # gene block (ops/pallas_trim.py) instead of the XLA while_loop around
     # per-round NMF kernel calls. The XLA loop remains the parity target.
     fuse_trim: bool = True
+    # OPT-IN deviation from reference numerics (off by default): warm-start
+    # each trim round's Lagrangian from the previous round's multipliers
+    # (masked to surviving columns) and from its left singular vector,
+    # running only nmf_iter/4 inner iterations per round after the first.
+    # The reference restarts from lambda=0 with the full nmf_iter every
+    # round (nmf.py:306); after dropping ONE bin the fixed point moves
+    # little, so warm restarts converge in far fewer steps. Requires
+    # fuse_trim + the Pallas path.
+    trim_fast: bool = False
     # Gram-contraction implementation inside the Pallas kernel (the
     # dominant FLOPs of every rank-1 fit): "vpu" = unrolled row
     # reductions, "mxu" = gene-packed 128-row MXU matmul (f32),
@@ -113,6 +122,14 @@ class EngineConfig:
     max_genes_per_batch: int = 0
     # Gene-data-parallel mesh axis name.
     mesh_axis: str = "genes"
+    # Buckets at least this wide switch from gene sharding to COLUMN
+    # (position-axis) sharding over the mesh — the sequence-parallel path
+    # for outlier-length genes (SURVEY.md §5.7: the reference instead caps
+    # genes at 9 Mb and downsamples). Rank-1/row-sum/colmax reductions are
+    # all column-partitionable, so GSPMD inserts one small collective per
+    # reduction; such buckets also exceed the Pallas VMEM gate and run on
+    # the XLA path, which shards transparently.
+    seqpar_width: int = 32768
     # When set, capture a jax.profiler trace of the DegNorm iterations into
     # this directory (viewable with TensorBoard / xprof). The reference has
     # no tracing at all (SURVEY.md §5.1).

@@ -150,8 +150,8 @@ def baseline_select_bucket(
     bail_zero_row = jnp.sum(rowsum_start > 0, axis=1) < p
 
     # ---- initial NMF, unclipped DI scores (nmf.py:245-258) ----
-    K0, E0, _ = nmf_masked(F, hi, gene_active=~(bail_low | bail_zero_row),
-                           **nmf_kwargs)
+    K0, E0, u0 = nmf_masked(F, hi, gene_active=~(bail_low | bail_zero_row),
+                            **nmf_kwargs)
     est_rs0 = K0 * jnp.sum(E0, axis=1)[:, None]
     rho0 = 1 - rowsum_start / (est_rs0 + 1)
     bail_nonconv = jnp.median(1 - rho0, axis=1) > 1
@@ -214,7 +214,7 @@ def baseline_select_bucket(
         # lax.while_loop below is its semantic reference (the kernel's
         # interpret mode is compared against it in tests/test_pallas.py).
         K_t, rho_t, ran_bs_t, rounds_t = trim_loop_pallas(
-            Fm, bin_id, bin_count, K0, E0, rho0,
+            Fm, bin_id, bin_count, K0, E0, rho0, u0,
             n_hi, n_bins0, state0.active,
             nmf_iter=nmf_cfg.nmf_iter,
             power_iters_cold=eng_cfg.power_iters_cold,
@@ -223,6 +223,7 @@ def baseline_select_bucket(
             max_rounds=nmf_cfg.max_trim_rounds,
             min_bins=nmf_cfg.min_bins,
             min_gene_len=nmf_cfg.min_gene_len,
+            fast=eng_cfg.trim_fast,
             interpret=eng_cfg.pallas_interpret)
         st = state0._replace(K=K_t, rho=rho_t, ran_bs=ran_bs_t,
                              rounds_active=rounds_t)

@@ -90,6 +90,9 @@ def ratio_svd_rowsums(
     *,
     power_iters: int = 30,
     method: str = "power",
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
+    gram_mode: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Row sums of the one-shot clipped rank-1 over-approximation.
 
@@ -97,6 +100,13 @@ def ratio_svd_rowsums(
     what DegNorm initialization needs (nmf.py:522-526): per-sample sums of
     max(K·E, F) and of F, both over active columns.
     """
+    if use_pallas and method == "power":
+        from degnorm_tpu.ops.pallas_nmf import (pallas_supported,
+                                                ratio_rowsums_pallas)
+        if pallas_supported(F.shape, F.dtype):
+            return ratio_rowsums_pallas(F, mask, power_iters=power_iters,
+                                        gram_mode=gram_mode,
+                                        interpret=pallas_interpret)
     m = mask.astype(F.dtype)
     K, E, _ = masked_rank_one(F, mask, n_iters=power_iters, method=method)
     est = jnp.maximum(outer_product(K, E), F * m[:, None, :])

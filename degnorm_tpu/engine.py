@@ -106,9 +106,14 @@ def _bucket_init(F, len_mask, eng_cfg: EngineConfig):
     (nmf.py:522-526)."""
     if F.dtype == jnp.int16:
         F = F.astype(jnp.dtype(eng_cfg.dtype))
+    use_pallas = eng_cfg.use_pallas and (
+        eng_cfg.pallas_interpret or jax.default_backend() != "cpu")
     return ratio_svd_rowsums(F, len_mask,
                              power_iters=eng_cfg.power_iters_cold,
-                             method=eng_cfg.rank1_method)
+                             method=eng_cfg.rank1_method,
+                             use_pallas=use_pallas,
+                             pallas_interpret=eng_cfg.pallas_interpret,
+                             gram_mode=eng_cfg.gram_mode)
 
 
 class DegNormResult:
@@ -172,8 +177,20 @@ class DegNormEngine:
 
         if self.mesh is not None:
             from degnorm_tpu.parallel.sharded import shard_bucket
-            placed = [shard_bucket(upload_form(b.F), b.len_mask(), self.mesh)
-                      for b in self._buckets]
+            from degnorm_tpu.parallel.seqpar import shard_columns
+            placed = []
+            for b in self._buckets:
+                if b.width >= self.eng_cfg.seqpar_width:
+                    # sequence-parallel: outlier-length genes shard the
+                    # position axis instead of the (few) genes
+                    placed.append((
+                        shard_columns(jnp.asarray(upload_form(b.F)),
+                                      self.mesh, self.eng_cfg.mesh_axis),
+                        shard_columns(jnp.asarray(b.len_mask()),
+                                      self.mesh, self.eng_cfg.mesh_axis)))
+                else:
+                    placed.append(shard_bucket(upload_form(b.F),
+                                               b.len_mask(), self.mesh))
             self._device_F = [f for f, _ in placed]
             self._device_mask = [m for _, m in placed]
         else:
@@ -405,7 +422,9 @@ class DegNormEngine:
             pj = jnp.asarray(perm)
             self._device_F[i] = jnp.take(self._device_F[i], pj, axis=0)
             self._device_mask[i] = jnp.take(self._device_mask[i], pj, axis=0)
-            b.F = b.F[perm]
+            # b.F is NOT permuted: after upload it is only read for its
+            # shape (copying the multi-hundred-MB host array costs seconds
+            # and nothing consumes its contents again).
             b.lengths = b.lengths[perm]
             b.gene_indices = b.gene_indices[perm]
 

@@ -175,6 +175,60 @@ def _nmf_kernel(act_ref, a0_ref, k_ref, e_ref, u_ref, lam_ref, *,
         u_ref[:] = u
 
 
+def _ratio_kernel(a0_ref, cs_ref, es_ref, *, power_cold, gram_mode):
+    """Fused ratio-SVD row sums (reference nmf.py:109-121,522-526): one
+    rank-1 fit, clip est up to F, and both row sums — one VMEM pass."""
+    A0 = a0_ref[:]                                      # (bg, p, W)
+    BG, p, W = A0.shape
+    u0 = jnp.full((BG, p), 1.0 / (p ** 0.5), A0.dtype)
+    K, E, _ = _rank1(A0, u0, power_cold, gram_mode)
+    est = jnp.maximum(K[:, :, None] * E[:, None, :], A0)
+    # Unmasked sums are exact: E inherits the column mask through
+    # v = A0ᵀu (masked columns of A0 are zero ⇒ E_w = 0 ⇒ est_w = 0).
+    cs_ref[:] = jnp.sum(A0, axis=2)
+    es_ref[:] = jnp.sum(est, axis=2)
+
+
+def ratio_rowsums_pallas(
+    F: jnp.ndarray,
+    mask: jnp.ndarray,
+    *,
+    power_iters: int = 30,
+    gram_mode: str = "auto",
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused Pallas path of core.nmf.ratio_svd_rowsums (same numerics up to
+    f32 reduction order)."""
+    G, p, W = F.shape
+    A0 = F * mask.astype(F.dtype)[:, None, :]
+    if gram_mode == "auto":
+        gram_mode = "vpu" if interpret else "mxu_bf16"
+    bg = pick_block_genes(G, p, W)
+    G_pad = ((G + bg - 1) // bg) * bg
+    if G_pad != G:
+        A0 = jnp.pad(A0, ((0, G_pad - G), (0, 0), (0, 0)))
+    kernel = functools.partial(_ratio_kernel, power_cold=power_iters,
+                               gram_mode=gram_mode)
+    cs, es = pl.pallas_call(
+        kernel,
+        grid=(G_pad // bg,),
+        in_specs=[pl.BlockSpec((bg, p, W), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((bg, p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((G_pad, p), F.dtype),
+            jax.ShapeDtypeStruct((G_pad, p), F.dtype),
+        ),
+        interpret=interpret,
+    )(A0)
+    return cs[:G], es[:G]
+
+
 def pick_block_genes(G: int, p: int, W: int, dtype_bytes: int = 4) -> int:
     """Largest gene-block whose working set (~4 full blocks: A0, lambda,
     transients) fits the VMEM budget.  Must be a multiple of 8: the gene

@@ -35,17 +35,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from degnorm_tpu.ops.pallas_nmf import _VMEM_BUDGET, _nmf_loop
+from degnorm_tpu.ops.pallas_nmf import _VMEM_BUDGET, _nmf_loop, _rank1
 
 _NEG = -1e30
 
 
 def _trim_kernel(fm_ref, binid_ref, bincnt_ref, k0_ref, e0_ref, rho0_ref,
-                 nhi_ref, nbins_ref, act0_ref,
+                 u0_ref, nhi_ref, nbins_ref, act0_ref,
                  k_ref, rho_ref, ranbs_ref, rounds_ref,
                  lam_ref, *,
                  nmf_iter, power_cold, power_warm, gram_mode,
-                 max_rounds, min_bins, min_gene_len, n_bins_total):
+                 max_rounds, min_bins, min_gene_len, n_bins_total, fast):
     B = n_bins_total
     # Defaults = loop-never-ran state (also the all-inactive-block result).
     k_ref[:] = k0_ref[:]
@@ -78,12 +78,17 @@ def _trim_kernel(fm_ref, binid_ref, bincnt_ref, k0_ref, e0_ref, rho0_ref,
         bin_ids = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
         bin_active0 = (bin_ids.astype(dtype) < nbins_ref[:]).astype(dtype)
 
+        if fast:
+            # warm-start mode: multipliers persist across rounds in the
+            # scratch (masked to surviving columns each round)
+            lam_ref[:] = jnp.zeros(lam_ref.shape, dtype)
+
         def cond(st):
-            return (jnp.max(st[6]) > 0) & (st[9] < max_rounds)
+            return (jnp.max(st[7]) > 0) & (st[10] < max_rounds)
 
         def body(st):
-            (K, E, rho, bin_active, n_hi, n_bins, active, ran_bs, clipped,
-             rounds, rounds_active) = st
+            (K, E, rho, u, bin_active, n_hi, n_bins, active, ran_bs,
+             clipped, rounds, rounds_active) = st
 
             ran_bs = jnp.maximum(ran_bs, active)        # nmf.py:276
             ca = col_active_from(bin_active)
@@ -118,10 +123,29 @@ def _trim_kernel(fm_ref, binid_ref, bincnt_ref, k0_ref, e0_ref, rho0_ref,
             can = col_active_from(bin_active)
 
             A0 = Fm * can[:, None, :]
-            Kn, En, _ = _nmf_loop(A0, lam_ref, nmf_iter=nmf_iter,
-                                  power_cold=power_cold,
-                                  power_warm=power_warm,
-                                  gram_mode=gram_mode)
+            if fast:
+                # Warm restart: previous multipliers (zeroed on dropped
+                # columns) + previous left vector; nmf_iter/4 inner steps.
+                # EngineConfig.trim_fast — an opt-in numeric deviation.
+                n_it = max(nmf_iter // 4, 8)
+                step = 1.0 / (n_it ** 0.5)
+                lam_ref[:] = lam_ref[:] * can[:, None, :]
+                Kc, Ec, uc = _rank1(A0 + lam_ref[:], u, power_warm,
+                                    gram_mode)
+
+                def fbody(_, carry):
+                    Kc, Ec, uc = carry
+                    est = Kc[:, :, None] * Ec[:, None, :]
+                    lam = jnp.maximum(lam_ref[:] - step * (est - A0), 0.0)
+                    lam_ref[:] = lam
+                    return _rank1(A0 + lam, uc, power_warm, gram_mode)
+
+                Kn, En, un = jax.lax.fori_loop(0, n_it, fbody, (Kc, Ec, uc))
+            else:
+                Kn, En, un = _nmf_loop(A0, lam_ref, nmf_iter=nmf_iter,
+                                       power_cold=power_cold,
+                                       power_warm=power_warm,
+                                       gram_mode=gram_mode)
             est_rs = Kn * jnp.sum(En, axis=1, keepdims=True)
             zero_row = (jnp.min(est_rs, axis=1, keepdims=True)
                         == 0.0).astype(dtype)           # nmf.py:315-316
@@ -135,6 +159,7 @@ def _trim_kernel(fm_ref, binid_ref, bincnt_ref, k0_ref, e0_ref, rho0_ref,
 
             K = jnp.where(run_nmf > 0, Kn, K)
             E = jnp.where(run_nmf > 0, En, E)
+            u = jnp.where(run_nmf > 0, un, u)
             rho = jnp.where(update_rho > 0, rho_new, rho)
             clipped = jnp.maximum(clipped, update_rho)
 
@@ -144,10 +169,10 @@ def _trim_kernel(fm_ref, binid_ref, bincnt_ref, k0_ref, e0_ref, rho0_ref,
             active_new = (update_rho * (1.0 - floor_hit)
                           * (jnp.max(rho_new, axis=1, keepdims=True)
                              > 0.1).astype(dtype))      # nmf.py:273
-            return (K, E, rho, bin_active, n_hi, n_bins, active_new,
+            return (K, E, rho, u, bin_active, n_hi, n_bins, active_new,
                     ran_bs, clipped, rounds + 1, rounds_active + active)
 
-        st0 = (k0_ref[:], e0_ref[:], rho0_ref[:], bin_active0,
+        st0 = (k0_ref[:], e0_ref[:], rho0_ref[:], u0_ref[:], bin_active0,
                nhi_ref[:], nbins_ref[:], act0_ref[:],
                jnp.zeros(act0_ref.shape, dtype),
                jnp.zeros(act0_ref.shape, dtype),
@@ -157,8 +182,8 @@ def _trim_kernel(fm_ref, binid_ref, bincnt_ref, k0_ref, e0_ref, rho0_ref,
 
         k_ref[:] = st[0]
         rho_ref[:] = st[2]
-        ranbs_ref[:] = st[7]
-        rounds_ref[:] = st[10]
+        ranbs_ref[:] = st[8]
+        rounds_ref[:] = st[11]
 
 
 def pick_block_genes_trim(G: int, p: int, W: int, dtype_bytes: int = 4) -> int:
@@ -176,6 +201,7 @@ def trim_loop_pallas(
     K0: jnp.ndarray,
     E0: jnp.ndarray,
     rho0: jnp.ndarray,
+    u0: jnp.ndarray,
     n_hi: jnp.ndarray,
     n_bins: jnp.ndarray,
     active0: jnp.ndarray,
@@ -187,6 +213,7 @@ def trim_loop_pallas(
     max_rounds: int,
     min_bins: int,
     min_gene_len: int,
+    fast: bool = False,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the whole trim loop for a padded bucket on VMEM-resident blocks.
@@ -220,6 +247,7 @@ def trim_loop_pallas(
                        constant_values=B)          # sentinel: never active
     bincnt_p = pad0(bin_count.astype(dtype))
     K0_p, E0_p, rho0_p = pad0(K0), pad0(E0), pad0(rho0)
+    u0_p = pad0(u0)
     nhi_p = pad0(n_hi.astype(dtype)[:, None])
     nbins_p = pad0(n_bins.astype(dtype)[:, None])
     act_p = pad0(active0.astype(dtype)[:, None])
@@ -228,7 +256,7 @@ def trim_loop_pallas(
         _trim_kernel, nmf_iter=nmf_iter, power_cold=power_iters_cold,
         power_warm=power_iters_warm, gram_mode=gram_mode,
         max_rounds=max_rounds, min_bins=float(min_bins),
-        min_gene_len=float(min_gene_len), n_bins_total=B)
+        min_gene_len=float(min_gene_len), n_bins_total=B, fast=fast)
 
     def row_spec(n):
         return pl.BlockSpec((bg, n), lambda i: (i, 0),
@@ -241,7 +269,7 @@ def trim_loop_pallas(
             pl.BlockSpec((bg, p, W), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             row_spec(W), row_spec(B), row_spec(p), row_spec(W), row_spec(p),
-            row_spec(1), row_spec(1), row_spec(1),
+            row_spec(p), row_spec(1), row_spec(1), row_spec(1),
         ],
         out_specs=(row_spec(p), row_spec(p), row_spec(1), row_spec(1)),
         out_shape=(
@@ -252,7 +280,8 @@ def trim_loop_pallas(
         ),
         scratch_shapes=[pltpu.VMEM((bg, p, W), dtype)],
         interpret=interpret,
-    )(Fm_p, bin_id_p, bincnt_p, K0_p, E0_p, rho0_p, nhi_p, nbins_p, act_p)
+    )(Fm_p, bin_id_p, bincnt_p, K0_p, E0_p, rho0_p, u0_p,
+      nhi_p, nbins_p, act_p)
 
     return (K[:G], rho[:G], ran_bs[:G, 0] > 0,
             rounds[:G, 0].astype(jnp.int32))

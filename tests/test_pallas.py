@@ -31,6 +31,22 @@ def test_pallas_nmf_matches_xla():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_ratio_rowsums_pallas_matches_xla():
+    from degnorm_tpu.core.nmf import ratio_svd_rowsums
+    from degnorm_tpu.ops.pallas_nmf import ratio_rowsums_pallas
+    rng = np.random.default_rng(47)
+    mats = [random_coverage(rng, 4, L).astype(np.float32)
+            for L in (200, 256, 120)]
+    F, mask = make_bucket(mats, 256, dtype=np.float32)
+    cs1, es1 = ratio_svd_rowsums(F, mask, power_iters=60)
+    cs2, es2 = ratio_rowsums_pallas(F, mask, power_iters=60,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(cs1), np.asarray(cs2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(es1), np.asarray(es2),
+                               rtol=1e-4, atol=1e-3)
+
+
 @pytest.mark.parametrize("gram_mode", ["vpu", "mxu"])
 def test_fused_trim_matches_xla(gram_mode):
     """The fully fused trim-loop kernel (ops/pallas_trim.py, interpret

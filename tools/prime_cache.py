@@ -78,7 +78,13 @@ def main():
         np.asarray(cs)
         t_init = time.time() - t
         t = time.time()
-        res = _bucket_step(F, mask, sf, ds, nmf_cfg, eng_cfg)
+        # both kernel variants: intermediate iterations (no estimate
+        # factors) and the final iteration (with them)
+        res = _bucket_step(F, mask, sf, ds, nmf_cfg, eng_cfg,
+                           with_estimates=False)
+        np.asarray(res.rho)
+        res = _bucket_step(F, mask, sf, ds, nmf_cfg, eng_cfg,
+                           with_estimates=True)
         np.asarray(res.rho)
         t_step = time.time() - t
         print(f"shape ({G},{p},{W}): init {t_init:.1f}s step {t_step:.1f}s",
