@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "float64"])
     p.add_argument("--rank1-method", default="power",
                    choices=["power", "eigh"])
+    p.add_argument("--trim-fast", action="store_true",
+                   help="warm-start baseline-selection trim rounds from the "
+                        "previous round's Lagrange multipliers (~2.7x faster "
+                        "iterations; small documented deviation from "
+                        "reference numerics)")
     p.add_argument("-v", "--version", action="version",
                    version=f"degnorm-tpu {__version__}")
     return p
@@ -103,7 +108,8 @@ def parse_config(argv: Optional[List[str]] = None,
         degnorm_iter=args.degnorm_iter, nmf_iter=args.nmf_iter,
         downsample_rate=args.downsample_rate,
         skip_baseline_selection=args.skip_baseline_selection)
-    eng = EngineConfig(dtype=args.dtype, rank1_method=args.rank1_method)
+    eng = EngineConfig(dtype=args.dtype, rank1_method=args.rank1_method,
+                       trim_fast=args.trim_fast)
     cfg = PipelineConfig(
         bam_files=tuple(bam_files),
         bai_files=tuple(args.bai_files or []),
