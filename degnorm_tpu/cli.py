@@ -128,7 +128,7 @@ def parse_config(argv: Optional[List[str]] = None,
 
 def main(argv: Optional[List[str]] = None) -> int:
     from degnorm_tpu.pipeline.run import (configure_logger, create_output_dir,
-                                          run_pipeline)
+                                          run_pipeline, welcome)
     cfg, args = parse_config(argv, return_args=True)
 
     mesh = None
@@ -143,6 +143,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     output_dir = create_output_dir(cfg.output_dir)
     configure_logger(output_dir)
+    welcome()
     run_pipeline(cfg, output_dir=output_dir, mesh=mesh)
     return 0
 

@@ -38,6 +38,21 @@ def create_output_dir(base_dir: str) -> str:
     return out
 
 
+_WELCOME = r"""
+ ___   ___  ___  _  _  ___  ___  __  __     _____ ___  _   _
+|   \ | __|| __|| \| |/ _ \| _ \|  \/  |___|_   _| _ \| | | |
+| |) || _| | (_ || .` | (_) |   /| |\/| |___| | | |  _/| |_| |
+|___/ |___||___||_|\_|\___/|_|_\|_|  |_|     |_| |_|   \___/
+        TPU-native transcript degradation normalization
+"""
+
+
+def welcome() -> None:
+    """ASCII banner (the reference's utils.py:37-46 equivalent)."""
+    for line in _WELCOME.strip("\n").splitlines():
+        log.info(line)
+
+
 def configure_logger(output_dir: Optional[str] = None) -> None:
     """Stream + degnorm.log file logging (utils.py:16-34 format)."""
     fmt = logging.Formatter("DegNorm (%(asctime)s) ---- %(message)s")
