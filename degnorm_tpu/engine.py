@@ -194,8 +194,24 @@ class DegNormEngine:
             self._device_F = [f for f, _ in placed]
             self._device_mask = [m for _, m in placed]
         else:
-            self._device_F = [jnp.asarray(upload_form(b.F))
-                              for b in self._buckets]
+            from degnorm_tpu.data.encode import (delta_decode_device,
+                                                 delta_encode)
+            self._device_F = []
+            for b in self._buckets:
+                enc = (delta_encode(b.F)
+                       if dtype == jnp.float32 else None)
+                if enc is not None:
+                    # int8-delta upload (~quarter of float32 bytes), exact
+                    # int16 reconstruction in one device pass
+                    try:
+                        self._device_F.append(delta_decode_device(
+                            jnp.asarray(enc.first), jnp.asarray(enc.deltas),
+                            jnp.asarray(enc.exc_idx),
+                            jnp.asarray(enc.exc_val)))
+                        continue
+                    except Exception:   # pragma: no cover - backend quirk
+                        pass
+                self._device_F.append(jnp.asarray(upload_form(b.F)))
             self._device_mask = [jnp.asarray(b.len_mask())
                                  for b in self._buckets]
 

@@ -1,0 +1,58 @@
+"""int8-delta coverage upload encoding: losslessness and engine parity."""
+import numpy as np
+
+from degnorm_tpu.data.encode import delta_decode_device, delta_encode
+from tests.conftest import random_coverage
+
+
+def test_roundtrip_lossless():
+    rng = np.random.default_rng(1)
+    mats = [random_coverage(rng, 4, 300) for _ in range(5)]
+    G = len(mats)
+    W = max(m.shape[1] for m in mats)
+    F = np.zeros((G, 4, W), np.float32)
+    for i, m in enumerate(mats):
+        F[i, :, :m.shape[1]] = np.round(m)
+    F[1, 2, 7] = 12000.0                      # delta exception
+    enc = delta_encode(F)
+    assert enc is not None
+    dec = np.asarray(delta_decode_device(*map(np.asarray, enc)))
+    np.testing.assert_array_equal(dec.astype(np.float32), F)
+    nbytes = sum(np.asarray(a).nbytes for a in enc)
+    assert nbytes < 0.55 * F.size * 2         # ~half of the int16 form
+
+
+def test_rejects_lossy_cases():
+    F = np.ones((2, 2, 8), np.float32)
+    assert delta_encode(F + 0.25) is None     # non-integral
+    assert delta_encode(F * 40000) is None    # exceeds int16
+    jumpy = np.minimum(np.arange(2 * 2 * 64, dtype=np.float32)
+                       .reshape(2, 2, 64) * 300, 30000)
+    assert delta_encode(jumpy) is None        # >2% exception rate
+
+
+def test_engine_delta_path_matches_direct():
+    from collections import OrderedDict
+    from degnorm_tpu.config import EngineConfig, NMFConfig
+    from degnorm_tpu.engine import DegNormEngine
+    import degnorm_tpu.engine as eng_mod
+
+    rng = np.random.default_rng(9)
+    cov = OrderedDict(
+        (f"g{i}", np.round(random_coverage(rng, 3, L, degraded=i % 2 == 0)))
+        for i, L in enumerate((300, 500, 260, 410)))
+    X = np.round(np.abs(rng.standard_normal((4, 3))) * 150 + 30)
+    cfg = NMFConfig(nmf_iter=6, degnorm_iter=2)
+
+    r1 = DegNormEngine(cfg, EngineConfig()).run(cov, X.copy())
+
+    # force the direct (non-delta) upload path
+    import degnorm_tpu.data.encode as enc_mod
+    orig = enc_mod.delta_encode
+    enc_mod.delta_encode = lambda F: None
+    try:
+        r2 = DegNormEngine(cfg, EngineConfig()).run(cov, X.copy())
+    finally:
+        enc_mod.delta_encode = orig
+    np.testing.assert_array_equal(r1.rho, r2.rho)
+    np.testing.assert_array_equal(r1.x_adj, r2.x_adj)
