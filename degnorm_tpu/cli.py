@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "float64"])
     p.add_argument("--rank1-method", default="power",
                    choices=["power", "eigh"])
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the DegNorm "
+                        "iterations into this directory (TensorBoard/xprof)")
     p.add_argument("--trim-fast", action="store_true",
                    help="warm-start baseline-selection trim rounds from the "
                         "previous round's Lagrange multipliers (~2.7x faster "
@@ -109,7 +112,8 @@ def parse_config(argv: Optional[List[str]] = None,
         downsample_rate=args.downsample_rate,
         skip_baseline_selection=args.skip_baseline_selection)
     eng = EngineConfig(dtype=args.dtype, rank1_method=args.rank1_method,
-                       trim_fast=args.trim_fast)
+                       trim_fast=args.trim_fast,
+                       profile_dir=args.profile_dir)
     cfg = PipelineConfig(
         bam_files=tuple(bam_files),
         bai_files=tuple(args.bai_files or []),
