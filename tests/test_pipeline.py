@@ -186,3 +186,23 @@ def test_multihost_init_noop(monkeypatch):
     monkeypatch.delenv("DEGNORM_TPU_COORDINATOR", raising=False)
     monkeypatch.delenv("DEGNORM_TPU_NUM_PROCESSES", raising=False)
     initialize_multihost()   # must not raise or initialize anything
+
+
+def test_pipeline_stream_etl_matches(dataset, tmp_path):
+    """--stream-etl on: auto-builds missing .bai indexes and produces DI
+    scores identical to the whole-file decode path."""
+    import shutil
+    d = tmp_path / "stream_bams"
+    d.mkdir()
+    bams = []
+    for b in dataset["bams"]:
+        shutil.copy(b, d)
+        bams.append(str(d / os.path.basename(b)))
+    ds = dict(dataset, bams=bams)
+    out_on = run_cli(ds, tmp_path / "on", extra=("--stream-etl", "on"))
+    # indexes were created natively next to the BAMs
+    assert all(os.path.isfile(b + ".bai") for b in bams)
+    out_off = run_cli(ds, tmp_path / "off", extra=("--stream-etl", "off"))
+    a = pd.read_csv(os.path.join(out_on, "degradation_index_scores.csv"))
+    b = pd.read_csv(os.path.join(out_off, "degradation_index_scores.csv"))
+    pd.testing.assert_frame_equal(a, b)
