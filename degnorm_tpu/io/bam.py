@@ -238,43 +238,78 @@ def _read_bam_native(path: str, *, tid: Optional[int],
             raise ValueError(
                 f"native BAM read failed: "
                 f"{(data.error or b'?').decode(errors='replace')}")
-        n = int(data.n_reads)
-
-        def arr(ptr, count, dtype):
-            if count == 0:
-                return np.empty(0, dtype)
-            return np.ctypeslib.as_array(ptr, shape=(count,)).astype(
-                dtype, copy=True)
-
-        coff = arr(data.cigar_offsets, n + 1, np.int64)
-        n_cig = int(coff[-1]) if n else 0
-        qoff = arr(data.qname_offsets, n + 1, np.int64)
-        qbytes = ctypes.string_at(data.qnames, int(qoff[-1])) if n else b""
-        qnames = np.array(
-            [qbytes[qoff[i]:qoff[i + 1] - 1].decode() for i in range(n)],
-            dtype=object)
-
-        ref_lens = arr(data.ref_lens, int(data.n_refs), np.int32)
-        ref_blob = ctypes.string_at(
+        import ctypes as _ct
+        ref_lens = (np.ctypeslib.as_array(
+            data.ref_lens, shape=(int(data.n_refs),)).astype(np.int32)
+            if data.n_refs else np.empty(0, np.int32))
+        ref_blob = _ct.string_at(
             data.ref_names, int(data.ref_names_bytes)) if data.n_refs else b""
         ref_names = [s.decode() for s in ref_blob.split(b"\x00") if s]
-
         header = BamHeader(text="", ref_names=ref_names,
                            ref_lengths=[int(x) for x in ref_lens])
-        cols = ReadColumns(
-            qnames=qnames,
-            tid=arr(data.tid, n, np.int32),
-            pos=arr(data.pos, n, np.int32),
-            flag=arr(data.flag, n, np.uint16),
-            rnext=arr(data.rnext, n, np.int32),
-            nh=arr(data.nh, n, np.int32),
-            cigar_ops=arr(data.cigar_ops, n_cig, np.int8),
-            cigar_lens=arr(data.cigar_lens, n_cig, np.int32),
-            cigar_offsets=coff if n else np.array([0], np.int64),
-            pair_hash=arr(data.pair_hash, n, np.uint64),
-            mate_code=arr(data.mate_code, n, np.int8),
-        )
-        return header, cols
+        return header, _cols_from_native(data)
+    finally:
+        lib.dn_free_bam(ctypes.byref(data))
+
+
+def _cols_from_native(data) -> ReadColumns:
+    """Columnar arrays out of a populated DnBamData (copies, so freeing the
+    native buffers afterwards is safe)."""
+    import ctypes
+
+    n = int(data.n_reads)
+
+    def arr(ptr, count, dtype):
+        if count == 0:
+            return np.empty(0, dtype)
+        return np.ctypeslib.as_array(ptr, shape=(count,)).astype(
+            dtype, copy=True)
+
+    coff = arr(data.cigar_offsets, n + 1, np.int64)
+    n_cig = int(coff[-1]) if n else 0
+    qoff = arr(data.qname_offsets, n + 1, np.int64)
+    qbytes = ctypes.string_at(data.qnames, int(qoff[-1])) if n else b""
+    qnames = np.array(
+        [qbytes[qoff[i]:qoff[i + 1] - 1].decode() for i in range(n)],
+        dtype=object)
+    return ReadColumns(
+        qnames=qnames,
+        tid=arr(data.tid, n, np.int32),
+        pos=arr(data.pos, n, np.int32),
+        flag=arr(data.flag, n, np.uint16),
+        rnext=arr(data.rnext, n, np.int32),
+        nh=arr(data.nh, n, np.int32),
+        cigar_ops=arr(data.cigar_ops, n_cig, np.int8),
+        cigar_lens=arr(data.cigar_lens, n_cig, np.int32),
+        cigar_offsets=coff if n else np.array([0], np.int64),
+        pair_hash=arr(data.pair_hash, n, np.uint64),
+        mate_code=arr(data.mate_code, n, np.int8),
+    )
+
+
+def _parse_records_native(blob: bytes, *, tid: Optional[int],
+                          drop_unmapped: bool = True,
+                          pos_range: Optional[Tuple[int, int]] = None
+                          ) -> Optional[ReadColumns]:
+    """Native decode of a headerless record blob (BAI region fetch);
+    None if the toolchain is unavailable."""
+    import ctypes
+
+    from degnorm_tpu.io.native.build import DnBamData, load_library
+    lib = load_library()
+    if lib is None:
+        return None
+    lo, hi = pos_range if pos_range is not None else (-(1 << 62), 1 << 62)
+    data = DnBamData()
+    rc = lib.dn_parse_records(
+        blob, len(blob), -1 if tid is None else int(tid),
+        1 if drop_unmapped else 0, int(lo), int(hi), ctypes.byref(data))
+    try:
+        if rc != 0:
+            raise ValueError(
+                f"native record parse failed: "
+                f"{(data.error or b'?').decode(errors='replace')}")
+        return _cols_from_native(data)
     finally:
         lib.dn_free_bam(ctypes.byref(data))
 
@@ -438,6 +473,13 @@ def read_bam_region(path: str, bai_path: str, tid: int,
     header = read_header(path)
     index = read_bai(bai_path)
     blob = fetch_region_bytes(path, index, tid, beg, end)
+    import os as _os
+    if _os.environ.get("DEGNORM_TPU_NO_NATIVE", "0") != "1":
+        cols = _parse_records_native(blob, tid=tid,
+                                     drop_unmapped=drop_unmapped,
+                                     pos_range=(beg, end))
+        if cols is not None:
+            return header, cols
     cols = _parse_records(blob, tid=tid, drop_unmapped=drop_unmapped,
                           pos_range=(beg, end))
     return header, cols

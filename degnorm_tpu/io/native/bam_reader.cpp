@@ -186,6 +186,10 @@ static char* dup_err(const std::string& msg) {
     return e;
 }
 
+int dn_parse_records(const uint8_t* p, int64_t len, int32_t tid_filter,
+                     int drop_unmapped, int64_t pos_min, int64_t pos_max,
+                     DnBamData* out);
+
 void dn_free_bam(DnBamData* d) {
     if (!d) return;
     free(d->tid); free(d->pos); free(d->flag); free(d->rnext); free(d->nh);
@@ -266,7 +270,28 @@ int dn_read_bam(const char* path, int32_t tid_filter, int drop_unmapped,
         p += 8 + l_name;
     }
 
-    // ---- records ----
+    int rc = dn_parse_records(p, (int64_t)(end - p), tid_filter,
+                              drop_unmapped, INT64_MIN, INT64_MAX, out);
+    if (rc != 0) return rc;
+
+    out->n_refs = n_ref;
+    out->ref_names = (char*)malloc(ref_names.size());
+    memcpy(out->ref_names, ref_names.data(), ref_names.size());
+    out->ref_names_bytes = (int64_t)ref_names.size();
+    out->ref_lens = (int32_t*)malloc(ref_lens.size() * sizeof(int32_t));
+    memcpy(out->ref_lens, ref_lens.data(),
+           ref_lens.size() * sizeof(int32_t));
+    return 0;
+}
+
+// Decode a headerless inflated record blob (e.g. a BAI region fetch that
+// starts exactly on a record boundary) into the columnar layout.  Record
+// columns only — header fields of ``out`` stay zero.  ``pos_min``/
+// ``pos_max``: keep records with pos in [pos_min, pos_max).
+int dn_parse_records(const uint8_t* p, int64_t len, int32_t tid_filter,
+                     int drop_unmapped, int64_t pos_min, int64_t pos_max,
+                     DnBamData* out) {
+    const uint8_t* end = p + len;
     std::vector<int32_t> tid_v, pos_v, rnext_v, nh_v, clens_v;
     std::vector<uint16_t> flag_v;
     std::vector<int8_t> cops_v, mate_v;
@@ -289,6 +314,7 @@ int dn_read_bam(const char* path, int32_t tid_filter, int drop_unmapped,
         int32_t next_refID = rd<int32_t>(r + 20);
         if (tid_filter >= 0 && refID != tid_filter) continue;
         if (drop_unmapped && (flag & 0x4)) continue;
+        if ((int64_t)pos < pos_min || (int64_t)pos >= pos_max) continue;
 
         const uint8_t* q = r + 32;
         qnames.append((const char*)q, l_read_name);   // includes NUL
@@ -334,11 +360,6 @@ int dn_read_bam(const char* path, int32_t tid_filter, int drop_unmapped,
     copy_out(mate_v, out->mate_code);
     out->qnames = (char*)malloc(qnames.size());
     memcpy(out->qnames, qnames.data(), qnames.size());
-    out->n_refs = n_ref;
-    out->ref_names = (char*)malloc(ref_names.size());
-    memcpy(out->ref_names, ref_names.data(), ref_names.size());
-    out->ref_names_bytes = (int64_t)ref_names.size();
-    copy_out(ref_lens, out->ref_lens);
     return 0;
 }
 

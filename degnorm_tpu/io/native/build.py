@@ -69,6 +69,14 @@ def load_library() -> Optional[ctypes.CDLL]:
                 subprocess.run(cmd, check=True, capture_output=True,
                                timeout=120)
                 os.replace(so + ".tmp", so)
+                # drop stale builds of older source revisions
+                for f in os.listdir(_DIR):
+                    if (f.startswith("libdnbam_") and f.endswith(".so")
+                            and os.path.join(_DIR, f) != so):
+                        try:
+                            os.remove(os.path.join(_DIR, f))
+                        except OSError:
+                            pass
             except Exception:
                 _FAILED = True
                 return None
@@ -80,6 +88,11 @@ def load_library() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(DnBamData)]
             lib.dn_free_bam.restype = None
             lib.dn_free_bam.argtypes = [ctypes.POINTER(DnBamData)]
+            lib.dn_parse_records.restype = ctypes.c_int
+            lib.dn_parse_records.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(DnBamData)]
             i8 = ctypes.POINTER(ctypes.c_int8)
             i32 = ctypes.POINTER(ctypes.c_int32)
             i64 = ctypes.POINTER(ctypes.c_int64)

@@ -132,3 +132,25 @@ def test_streaming_sample_processor_matches_whole_file(indexed_bam, tmp_path):
         assert r_s[chrom].read_counts == r_w[chrom].read_counts
         np.testing.assert_array_equal(r_s[chrom].isolated_coverage,
                                       r_w[chrom].isolated_coverage)
+
+
+def test_native_region_parse_matches_python(indexed_bam):
+    """dn_parse_records on a BAI region blob == the pure-Python parser."""
+    from degnorm_tpu.io.bai import fetch_region_bytes, read_bai
+
+    bam, bai = indexed_bam
+    idx = read_bai(bai)
+    for tid, rng in ((0, (0, 1 << 29)), (1, (3000, 9000))):
+        blob = fetch_region_bytes(bam, idx, tid, *rng)
+        py = bamio._parse_records(blob, tid=tid, pos_range=rng)
+        nat = bamio._parse_records_native(blob, tid=tid, pos_range=rng)
+        if nat is None:
+            import pytest
+            pytest.skip("no native toolchain")
+        assert list(nat.qnames) == list(py.qnames)
+        np.testing.assert_array_equal(nat.pos, py.pos)
+        np.testing.assert_array_equal(nat.cigar_ops, py.cigar_ops)
+        np.testing.assert_array_equal(nat.cigar_lens, py.cigar_lens)
+        np.testing.assert_array_equal(nat.cigar_offsets, py.cigar_offsets)
+        np.testing.assert_array_equal(nat.nh, py.nh)
+        np.testing.assert_array_equal(nat.rnext, py.rnext)
