@@ -33,29 +33,48 @@ class DeltaEncoded(NamedTuple):
 
 
 def delta_encode(F: np.ndarray) -> Optional[DeltaEncoded]:
-    """Encode an integral (G, p, W) coverage batch; None when ineligible."""
+    """Encode an integral (G, p, W) coverage batch; None when ineligible.
+
+    Works gene-slab-wise so the int32 transients stay bounded (~tens of MB)
+    even for multi-GB buckets — the whole-array form would briefly allocate
+    ~4x the bucket's bytes on the very path meant to cut transfer cost.
+    """
     if F.ndim != 3 or F.shape[2] < 2:
         return None
-    if F.dtype.kind == "f":
-        if F.max(initial=0.0) >= 32767 or not np.all(F == np.floor(F)):
+    G, p, W = F.shape
+    slab = max(1, (64 << 20) // max(p * W * 4, 1))
+    first = np.empty((G, p), np.int16)
+    deltas = np.empty((G, p, W - 1), np.int8)
+    exc_idx_parts, exc_val_parts = [], []
+    n_exc = 0
+    row_stride = p * (W - 1)
+    for g0 in range(0, G, slab):
+        Fs = F[g0:g0 + slab]
+        if Fs.dtype.kind == "f":
+            if Fs.max(initial=0.0) >= 32767 or not np.all(Fs == np.floor(Fs)):
+                return None
+        Fi = Fs.astype(np.int32)
+        if Fi.min(initial=0) < 0:
             return None
-    Fi = F.astype(np.int32)
-    if Fi.min(initial=0) < 0:
-        return None
-    d = np.diff(Fi, axis=2)
-    clipped = np.clip(d, -128, 127)
-    exc = (d != clipped)
-    n_exc = int(exc.sum())
-    if n_exc > 0.02 * d.size:
-        return None
-    exc_idx = np.flatnonzero(exc).astype(np.int32)
-    exc_val = (d.reshape(-1)[exc_idx] - clipped.reshape(-1)[exc_idx]
-               ).astype(np.int32)
+        d = np.diff(Fi, axis=2)
+        clipped = np.clip(d, -128, 127)
+        exc = d != clipped
+        n_exc += int(exc.sum())
+        if n_exc > 0.02 * G * row_stride:
+            return None
+        idx = np.flatnonzero(exc)
+        exc_idx_parts.append((idx + g0 * row_stride).astype(np.int32))
+        exc_val_parts.append(
+            (d.reshape(-1)[idx] - clipped.reshape(-1)[idx]).astype(np.int32))
+        first[g0:g0 + slab] = Fi[:, :, 0].astype(np.int16)
+        deltas[g0:g0 + slab] = clipped.astype(np.int8)
     return DeltaEncoded(
-        first=Fi[:, :, 0].astype(np.int16),
-        deltas=clipped.astype(np.int8),
-        exc_idx=exc_idx,
-        exc_val=exc_val,
+        first=first,
+        deltas=deltas,
+        exc_idx=(np.concatenate(exc_idx_parts) if exc_idx_parts
+                 else np.empty(0, np.int32)),
+        exc_val=(np.concatenate(exc_val_parts) if exc_val_parts
+                 else np.empty(0, np.int32)),
     )
 
 

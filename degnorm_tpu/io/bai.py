@@ -83,86 +83,191 @@ class BaiIndex:
         return [(s, e) for s, e in merged]
 
 
+class RefIndexAccumulator:
+    """Incremental per-reference BAI aggregation: feed alignments in file
+    order, serialize at the end — O(bins + linear windows) memory, never a
+    per-record list (lets index_bam stream arbitrarily large BAMs)."""
+
+    def __init__(self):
+        self.bins: Dict[int, List[Tuple[int, int]]] = {}
+        self.linear: List[int] = []
+        self.filled: List[bool] = []
+
+    def add(self, pos: int, end: int, vs: int, ve: int) -> None:
+        end = max(end, pos + 1)
+        b = reg2bin(pos, end)
+        lst = self.bins.setdefault(b, [])
+        # merge chunks adjacent in the file
+        if lst and lst[-1][1] == vs:
+            lst[-1] = (lst[-1][0], ve)
+        else:
+            lst.append((vs, ve))
+        w_hi = (end - 1) >> _LINEAR_SHIFT
+        if w_hi >= len(self.linear):
+            grow = w_hi + 1 - len(self.linear)
+            self.linear.extend([0] * grow)
+            self.filled.extend([False] * grow)
+        for w in range(pos >> _LINEAR_SHIFT, w_hi + 1):
+            if not self.filled[w] or vs < self.linear[w]:
+                self.linear[w] = vs
+                self.filled[w] = True
+
+    def serialize(self) -> bytes:
+        # backfill empty leading windows per spec convention
+        prev = 0
+        for w in range(len(self.linear)):
+            if not self.filled[w]:
+                self.linear[w] = prev
+            prev = self.linear[w]
+        out = [struct.pack("<i", len(self.bins))]
+        for b in sorted(self.bins):
+            out.append(struct.pack("<Ii", b, len(self.bins[b])))
+            for s, e in self.bins[b]:
+                out.append(struct.pack("<QQ", s, e))
+        out.append(struct.pack("<i", len(self.linear)))
+        for v in self.linear:
+            out.append(struct.pack("<Q", v))
+        return b"".join(out)
+
+
 def write_bai(path: str,
               per_ref_records: List[List[Tuple[int, int, int, int]]]) -> None:
     """Write a .bai. per_ref_records[tid] lists (pos0, end0_excl,
     voff_start, voff_end) per alignment, in file order."""
     out = [BAI_MAGIC, struct.pack("<i", len(per_ref_records))]
     for recs in per_ref_records:
-        bins: Dict[int, List[Tuple[int, int]]] = {}
-        n_windows = 0
+        acc = RefIndexAccumulator()
         for pos, end, vs, ve in recs:
-            n_windows = max(n_windows, ((max(end, pos + 1) - 1)
-                                        >> _LINEAR_SHIFT) + 1)
-        linear = [0] * n_windows
-        filled = [False] * n_windows
-        for pos, end, vs, ve in recs:
-            b = reg2bin(pos, max(end, pos + 1))
-            lst = bins.setdefault(b, [])
-            # merge chunks adjacent in the file
-            if lst and lst[-1][1] == vs:
-                lst[-1] = (lst[-1][0], ve)
-            else:
-                lst.append((vs, ve))
-            for w in range(pos >> _LINEAR_SHIFT,
-                           ((max(end, pos + 1) - 1) >> _LINEAR_SHIFT) + 1):
-                if not filled[w] or vs < linear[w]:
-                    linear[w] = vs
-                    filled[w] = True
-        # backfill empty leading windows per spec convention
-        prev = 0
-        for w in range(n_windows):
-            if not filled[w]:
-                linear[w] = prev
-            prev = linear[w]
-
-        out.append(struct.pack("<i", len(bins)))
-        for b in sorted(bins):
-            out.append(struct.pack("<Ii", b, len(bins[b])))
-            for s, e in bins[b]:
-                out.append(struct.pack("<QQ", s, e))
-        out.append(struct.pack("<i", len(linear)))
-        for v in linear:
-            out.append(struct.pack("<Q", v))
+            acc.add(pos, end, vs, ve)
+        out.append(acc.serialize())
     with open(path, "wb") as f:
         f.write(b"".join(out))
 
 
 def index_bam(bam_path: str, bai_path: str = None) -> str:
     """Build a .bai for an existing BAM — the native replacement for the
-    reference's ``samtools index`` shell-out (utils.py:149-173).  Walks the
-    BGZF block table to assign each record its virtual-offset chunk, with
-    SAM-spec reference lengths (M/D/N/=/X) for binning."""
+    reference's ``samtools index`` shell-out (utils.py:149-173).
+
+    Streams the file once with bounded memory (it is invoked precisely on
+    large files in auto-stream mode): BGZF blocks inflate incrementally,
+    parsed bytes are evicted, and per-reference bins/linear windows
+    aggregate via RefIndexAccumulator instead of per-record lists.
+    SAM-spec reference lengths (M/D/N/=/X) drive the binning."""
     import numpy as np
     from degnorm_tpu.io import bam as bamio
 
+    accs: List[RefIndexAccumulator] = []
+    hdr_parsed = False
+    data = bytearray()       # decompressed tail not yet parsed
+    base_u = 0               # absolute uncompressed offset of data[0]
+    parse_from = 0           # absolute uncompressed parse cursor
+    # block table rows (u_start, c_start); blocks arrive in order
+    tbl_u: List[int] = []
+    tbl_c: List[int] = []
+    c_off = 0
+    raw = bytearray()
+    raw_base = 0
+
+    def voff(u: int) -> int:
+        import bisect
+        i = bisect.bisect_right(tbl_u, u) - 1
+        if i < 0:
+            return 0
+        return (tbl_c[i] << 16) | (u - tbl_u[i])
+
     with open(bam_path, "rb") as f:
-        raw = f.read()
-    data, table = bgzf.decompress_with_table(raw)
-    hdr, off = bamio._parse_header(data)
-    per_ref = [[] for _ in hdr.ref_names]
-    n = len(data)
-    while off + 4 <= n:
-        bs = struct.unpack_from("<i", data, off)[0]
-        start = off + 4
-        refID, pos = struct.unpack_from("<ii", data, start)
-        lrn = data[start + 8]
-        n_cigar = struct.unpack_from("<H", data, start + 12)[0]
-        flag = struct.unpack_from("<H", data, start + 14)[0]
-        end_off = start + bs
-        if 0 <= refID < len(per_ref) and not (flag & 0x4):
-            cig = np.frombuffer(data, "<u4", n_cigar, start + 32 + lrn)
-            ops = cig & 0xF
-            ref_len = int((cig >> 4)[(ops == 0) | (ops == 2) | (ops == 3)
-                                     | (ops == 7) | (ops == 8)].sum())
-            per_ref[refID].append(
-                (pos, pos + max(ref_len, 1),
-                 bgzf.virtual_offset(table, off),
-                 bgzf.virtual_offset(table, end_off)))
-        off = end_off
+        eof = False
+        while True:
+            chunk = f.read(4 << 20)
+            if chunk:
+                raw.extend(chunk)
+            else:
+                eof = True
+            progressed = False
+            with memoryview(raw) as view:
+                off = 0
+                while c_off - raw_base + 18 <= len(raw):
+                    off = c_off - raw_base
+                    hdr = bytes(view[off:off + 18])
+                    if len(hdr) < 18:
+                        break
+                    xlen = struct.unpack_from("<H", hdr, 10)[0]
+                    if off + 12 + xlen > len(raw):
+                        break
+                    extra = bytes(view[off + 12:off + 12 + xlen])
+                    bsize = None
+                    i = 0
+                    while i + 4 <= len(extra):
+                        si1, si2, slen = extra[i], extra[i + 1], \
+                            struct.unpack_from("<H", extra, i + 2)[0]
+                        if si1 == 66 and si2 == 67 and slen == 2:
+                            bsize = struct.unpack_from(
+                                "<H", extra, i + 4)[0] + 1
+                            break
+                        i += 4 + slen
+                    if bsize is None or off + bsize > len(raw):
+                        break
+                    blk, _ = bgzf._read_block(view, off)
+                    tbl_u.append(base_u + len(data))
+                    tbl_c.append(c_off)
+                    data.extend(blk)
+                    c_off += bsize
+                    progressed = True
+            # evict consumed compressed bytes
+            drop = (c_off - raw_base) if progressed else 0
+            if drop > 0:
+                del raw[:drop]
+                raw_base = c_off
+
+            if not hdr_parsed and len(data) >= 12:
+                try:
+                    hdr, hdr_end = bamio._parse_header(bytes(data))
+                    accs = [RefIndexAccumulator() for _ in hdr.ref_names]
+                    parse_from = hdr_end
+                    del data[:hdr_end]
+                    base_u = hdr_end
+                    hdr_parsed = True
+                except (struct.error, IndexError):
+                    pass
+
+            if hdr_parsed:
+                buf = bytes(data)
+                p = parse_from - base_u
+                while p + 4 <= len(buf):
+                    bs = struct.unpack_from("<i", buf, p)[0]
+                    if p + 4 + bs > len(buf):
+                        break
+                    r = p + 4
+                    refID, pos = struct.unpack_from("<ii", buf, r)
+                    lrn = buf[r + 8]
+                    n_cigar = struct.unpack_from("<H", buf, r + 12)[0]
+                    flag = struct.unpack_from("<H", buf, r + 14)[0]
+                    if 0 <= refID < len(accs) and not (flag & 0x4):
+                        cig = np.frombuffer(buf, "<u4", n_cigar, r + 32 + lrn)
+                        ops = cig & 0xF
+                        ref_len = int((cig >> 4)[
+                            (ops == 0) | (ops == 2) | (ops == 3)
+                            | (ops == 7) | (ops == 8)].sum())
+                        accs[refID].add(pos, pos + max(ref_len, 1),
+                                        voff(base_u + p),
+                                        voff(base_u + p + 4 + bs))
+                    p += 4 + bs
+                # evict parsed decompressed bytes
+                parse_from = base_u + p
+                del data[:p]
+                base_u = parse_from
+
+            if eof and not progressed:
+                break
+
+    if not hdr_parsed:
+        raise ValueError(f"not a BAM file: {bam_path}")
     if bai_path is None:
         bai_path = bam_path + ".bai"
-    write_bai(bai_path, per_ref)
+    out = [BAI_MAGIC, struct.pack("<i", len(accs))]
+    out.extend(a.serialize() for a in accs)
+    with open(bai_path, "wb") as f:
+        f.write(b"".join(out))
     return bai_path
 
 

@@ -416,26 +416,29 @@ def read_head_qnames(path: str, n_records: int = 301) -> List[str]:
             chunk = f.read(1 << 20)
             if chunk:
                 raw.extend(chunk)
-            view = memoryview(raw)
-            # inflate every complete block available
+            # inflate every complete block available (the memoryview is
+            # released before the next raw.extend — a live view would make
+            # the bytearray un-resizable and raise BufferError)
             progressed = False
-            while off + 18 <= len(raw):
-                xlen = struct.unpack_from("<H", view, off + 10)[0]
-                extra = bytes(view[off + 12: off + 12 + xlen])
-                bsize = None
-                i = 0
-                while i + 4 <= len(extra):
-                    si1, si2, slen = extra[i], extra[i + 1], \
-                        struct.unpack_from("<H", extra, i + 2)[0]
-                    if si1 == 66 and si2 == 67 and slen == 2:
-                        bsize = struct.unpack_from("<H", extra, i + 4)[0] + 1
+            with memoryview(raw) as view:
+                while off + 18 <= len(raw):
+                    xlen = struct.unpack_from("<H", view, off + 10)[0]
+                    extra = bytes(view[off + 12: off + 12 + xlen])
+                    bsize = None
+                    i = 0
+                    while i + 4 <= len(extra):
+                        si1, si2, slen = extra[i], extra[i + 1], \
+                            struct.unpack_from("<H", extra, i + 2)[0]
+                        if si1 == 66 and si2 == 67 and slen == 2:
+                            bsize = struct.unpack_from(
+                                "<H", extra, i + 4)[0] + 1
+                            break
+                        i += 4 + slen
+                    if bsize is None or off + bsize > len(raw):
                         break
-                    i += 4 + slen
-                if bsize is None or off + bsize > len(raw):
-                    break
-                blk, off = bgzf._read_block(view, off)
-                data.extend(blk)
-                progressed = True
+                    blk, off = bgzf._read_block(view, off)
+                    data.extend(blk)
+                    progressed = True
             if hdr_end is None and len(data) >= 12:
                 try:
                     _, hdr_end = _parse_header(bytes(data))
@@ -473,13 +476,24 @@ def read_bam_region(path: str, bai_path: str, tid: int,
     header = read_header(path)
     index = read_bai(bai_path)
     blob = fetch_region_bytes(path, index, tid, beg, end)
+    return header, parse_region_blob(blob, tid=tid,
+                                     drop_unmapped=drop_unmapped,
+                                     pos_range=(beg, end))
+
+
+def parse_region_blob(blob: bytes, *, tid: Optional[int],
+                      drop_unmapped: bool = True,
+                      pos_range: Optional[Tuple[int, int]] = None
+                      ) -> ReadColumns:
+    """Decode a headerless record blob (BAI region fetch): C++ fast path
+    with transparent pure-Python fallback — the single place holding that
+    policy for both region reads and the streaming ETL."""
     import os as _os
     if _os.environ.get("DEGNORM_TPU_NO_NATIVE", "0") != "1":
         cols = _parse_records_native(blob, tid=tid,
                                      drop_unmapped=drop_unmapped,
-                                     pos_range=(beg, end))
+                                     pos_range=pos_range)
         if cols is not None:
-            return header, cols
-    cols = _parse_records(blob, tid=tid, drop_unmapped=drop_unmapped,
-                          pos_range=(beg, end))
-    return header, cols
+            return cols
+    return _parse_records(blob, tid=tid, drop_unmapped=drop_unmapped,
+                          pos_range=pos_range)

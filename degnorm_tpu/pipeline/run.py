@@ -161,6 +161,12 @@ def _cold_start(cfg: PipelineConfig, output_dir: str):
 
     bais = (list(cfg.bai_files) if cfg.bai_files
             else [None] * len(cfg.bam_files))
+    if len(bais) != len(cfg.bam_files):
+        # strict pairing, like the reference's flag validation
+        # (utils.py:318-484) — a shorter list would silently drop samples
+        raise ValueError(
+            f"--bai-files count ({len(bais)}) does not match .bam count "
+            f"({len(cfg.bam_files)})")
     samples = [BamSampleProcessor(b, unique_alignment=cfg.unique_alignments,
                                   output_dir=output_dir,
                                   compat=cfg.cigar_compat,

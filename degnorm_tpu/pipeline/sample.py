@@ -105,11 +105,7 @@ class BamSampleProcessor:
             blob = baiio.fetch_region_bytes(
                 self.filename, self._bai_index, tid, 0,
                 self.header.ref_lengths[tid])
-            if os.environ.get("DEGNORM_TPU_NO_NATIVE", "0") != "1":
-                cols = bamio._parse_records_native(blob, tid=tid)
-                if cols is not None:
-                    return cols
-            return bamio._parse_records(blob, tid=tid)
+            return bamio.parse_region_blob(blob, tid=tid)
         self._load_all()
         cols = self._cols_by_tid.get(tid)
         return cols if cols is not None else _empty_cols()

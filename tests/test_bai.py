@@ -1,4 +1,6 @@
 """BAI index write/read and region fetch (the samtools-index equivalent)."""
+import os
+
 import numpy as np
 import pytest
 
@@ -101,8 +103,6 @@ def test_streaming_sample_processor_matches_whole_file(indexed_bam, tmp_path):
 
     bam, bai = indexed_bam
     gene_rows, exon_rows = [], []
-    for chrom in ("c1", "c2"):
-        pass
     # build annotation from the simulated genes deterministically
     rng = np.random.default_rng(9)
     g1 = make_genes(rng, chrom="c1", n_genes=5, name_prefix="a.")
@@ -154,3 +154,44 @@ def test_native_region_parse_matches_python(indexed_bam):
         np.testing.assert_array_equal(nat.cigar_offsets, py.cigar_offsets)
         np.testing.assert_array_equal(nat.nh, py.nh)
         np.testing.assert_array_equal(nat.rnext, py.rnext)
+
+
+@pytest.fixture(scope="module")
+def multiblock_bam(tmp_path_factory):
+    """A BAM spanning many BGZF blocks (incompressible qnames, >1 MB) —
+    exercises incremental readers across chunk boundaries."""
+    import secrets
+    d = tmp_path_factory.mktemp("big")
+    bam = str(d / "big.bam")
+    rng = np.random.default_rng(0)
+    recs, pos = [], 100
+    for i in range(60000):
+        pos += int(rng.integers(0, 50))
+        recs.append((f"{secrets.token_hex(12)}.{i % 2 + 1}", 0, pos,
+                     0x1, "75M", 0))
+    bamio.write_bam(bam, ["c1"], [pos + 10_000], recs)
+    assert os.path.getsize(bam) > (1 << 20)
+    return bam
+
+
+def test_read_head_qnames_multichunk(multiblock_bam):
+    """Regression: the incremental head reader must survive growing its
+    raw buffer while a memoryview existed (BufferError pre-fix)."""
+    _, cols = bamio.read_bam(multiblock_bam, native=False)
+    head = bamio.read_head_qnames(multiblock_bam, 30000)
+    assert head == list(cols.qnames[:30000])
+
+
+def test_streaming_index_bam_multiblock(multiblock_bam, tmp_path):
+    """The streaming (bounded-memory) indexer on a many-block file yields
+    fetches identical to a full scan."""
+    from degnorm_tpu.io.bai import index_bam
+    bai = index_bam(multiblock_bam, str(tmp_path / "x.bai"))
+    _, full = bamio.read_bam(multiblock_bam, tid=0, native=False)
+    _, reg = bamio.read_bam_region(multiblock_bam, bai, tid=0)
+    assert list(reg.qnames) == list(full.qnames)
+    beg, end = 200_000, 400_000
+    _, win = bamio.read_bam_region(multiblock_bam, bai, tid=0,
+                                   beg=beg, end=end)
+    expect = {q for q, p in zip(full.qnames, full.pos) if beg <= p < end}
+    assert set(win.qnames) == expect
