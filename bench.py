@@ -25,14 +25,20 @@ DEGNORM_ITER = int(os.environ.get("BENCH_DEGNORM_ITER", 5))
 REF_GENES = int(os.environ.get("BENCH_REF_GENES", 12))
 SKIP_BS = os.environ.get("BENCH_SKIP_BS", "0") == "1"
 TRIM_FAST = os.environ.get("BENCH_TRIM_FAST", "0") == "1"
+# "dense": every gene degrades (worst case — most genes trim deep).
+# "sparse": ~20% degrade (the realistic regime; most genes leave the trim
+# loop immediately and the fused kernel's block skipping dominates).
+PROFILE = os.environ.get("BENCH_PROFILE", "dense")
 
 
-def synth_dataset(n, p, seed=7):
+def synth_dataset(n, p, seed=7, profile=PROFILE):
     rng = np.random.default_rng(seed)
     cov = OrderedDict()
     # power-law-ish gene lengths, 200..4000 bp (two bucket widths; keeps
     # the number of distinct kernel shapes — and compiles — small)
     lengths = np.clip((rng.pareto(1.7, n) + 1) * 220, 200, 4000).astype(int)
+    degraded = (np.ones(n, bool) if profile == "dense"
+                else rng.random(n) < 0.2)
     for i in range(n):
         L = int(lengths[i])
         t = np.linspace(0, 1, L)
@@ -41,12 +47,14 @@ def synth_dataset(n, p, seed=7):
         for j in range(p):
             amp = 0.5 + rng.random() * 1.5
             row = amp * base
-            if j % 2 == 1:
+            if degraded[i] and j % 2 == 1:
                 row = row * np.exp(-2.0 * (1 - t) * rng.random())
             rows.append(row)
         # integer coverage (like real read pileups) — rides the engine's
-        # half-width int16 upload path
-        cov[f"g{i}"] = np.round(np.maximum(np.vstack(rows), 0.0) * 20)
+        # compressed upload path; float32 halves host memory at 50k-gene
+        # scale (values are integral and far below 2^24)
+        cov[f"g{i}"] = np.round(np.maximum(np.vstack(rows), 0.0) * 20
+                                ).astype(np.float32)
     X = np.round(np.abs(rng.standard_normal((n, p))) * 300 + 30)
     return cov, X
 
