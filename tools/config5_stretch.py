@@ -59,13 +59,16 @@ def main():
     print(f"[c5] phase2 (resumed {resumed_iters} iters): {t_phase2:.0f}s "
           f"timings={ {k: round(v,2) for k,v in eng.timings.items()} }",
           file=sys.stderr, flush=True)
+    res_rho = np.array(res.rho)
+    res_xadj = np.array(res.x_adj)
+    del res, eng      # free the device buckets before the control engine
 
     # uninterrupted control
     t0 = time.perf_counter()
     ctl = DegNormEngine(nmf_cfg, eng_cfg).run(cov, X)
     t_ctl = time.perf_counter() - t0
-    np.testing.assert_allclose(res.rho, ctl.rho, rtol=1e-6, atol=1e-8)
-    np.testing.assert_allclose(res.x_adj, ctl.x_adj, rtol=1e-6)
+    np.testing.assert_allclose(res_rho, ctl.rho, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(res_xadj, ctl.x_adj, rtol=1e-6)
     print(f"[c5] resume == uninterrupted: OK (control {t_ctl:.0f}s)",
           file=sys.stderr, flush=True)
 
