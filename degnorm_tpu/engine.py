@@ -157,9 +157,10 @@ class DegNormEngine:
     def _pack(self, cov_mats: Sequence[np.ndarray]):
         dtype = jnp.dtype(self.eng_cfg.dtype)
         n_devices = int(self.mesh.devices.size) if self.mesh is not None else 1
-        # Device-memory guard: one bucket's f32 form plus ~2 iteration
-        # transients (cast, scale-adjust) must coexist with the resident
-        # compressed pool, so cap each padded bucket at ~1/6 of HBM
+        # Device-memory guard: one bucket's f32 form plus several iteration
+        # transients (cast, scale-adjust — and on the XLA fallback path the
+        # trim loop's per-round arrays) must coexist with the resident
+        # compressed pool, so cap each padded bucket at ~1/8 of HBM
         # (scaled by mesh size — the gene axis shards).
         try:
             stats = jax.devices()[0].memory_stats() or {}
@@ -172,7 +173,7 @@ class DegNormEngine:
             dtype=np.dtype(dtype.name),
             pad_genes_to=n_devices,
             max_genes_per_bucket=self.eng_cfg.max_genes_per_batch,
-            max_bucket_bytes=max(hbm // 6, 512 << 20) * max(n_devices, 1),
+            max_bucket_bytes=max(hbm // 8, 512 << 20) * max(n_devices, 1),
         )
         def upload_form(F):
             # integral coverage bounded by int16 uploads at half the bytes

@@ -29,8 +29,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _EPS = 1e-30
-# VMEM working-set budget (bytes) for choosing the gene-block size.
-_VMEM_BUDGET = 8 * 1024 * 1024
+# VMEM sizing model: the compiler must fit the double-buffered input
+# block, the lambda scratch, and the elementwise/Gram transients in the
+# 16 MB scoped VMEM. We budget 13 MB (Mosaic needs slack) against an
+# empirical live-buffer multiplier per kernel (NMF ~7 blocks, trim ~8) —
+# measured 17.7 MB actual at a naive 4-block model with p=32, hence the
+# conservative factors.
+_VMEM_BUDGET = 13 * 1024 * 1024
+_NMF_BLOCKS = 7
+_TRIM_BLOCKS = 8
 
 
 def _gram(X):
@@ -230,11 +237,12 @@ def ratio_rowsums_pallas(
 
 
 def pick_block_genes(G: int, p: int, W: int, dtype_bytes: int = 4) -> int:
-    """Largest gene-block whose working set (~4 full blocks: A0, lambda,
-    transients) fits the VMEM budget.  Must be a multiple of 8: the gene
-    axis is the second-to-last dim of the (bg, p)/(bg, W) output blocks and
-    TPU tiling requires sublane divisibility."""
-    per_gene = 4 * p * W * dtype_bytes
+    """Largest gene-block whose working set (~_NMF_BLOCKS live (bg, p, W)
+    buffers: double-buffered A0, lambda, est/X transients, Gram packing)
+    fits the VMEM budget.  Must be a multiple of 8: the gene axis is the
+    second-to-last dim of the (bg, p)/(bg, W) output blocks and TPU tiling
+    requires sublane divisibility."""
+    per_gene = _NMF_BLOCKS * p * W * dtype_bytes
     bg = (_VMEM_BUDGET // per_gene) // 8 * 8
     return int(max(8, min(bg, ((G + 7) // 8) * 8)))
 
@@ -316,4 +324,4 @@ def pallas_supported(F_shape, dtype) -> bool:
     G, p, W = F_shape
     return (jnp.dtype(dtype) == jnp.float32
             and W % 128 == 0
-            and 8 * 4 * p * W * 4 <= _VMEM_BUDGET)
+            and 8 * _NMF_BLOCKS * p * W * 4 <= _VMEM_BUDGET)

@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from degnorm_tpu.ops.pallas_nmf import _VMEM_BUDGET, _nmf_loop, _rank1
+from degnorm_tpu.ops.pallas_nmf import (_TRIM_BLOCKS, _VMEM_BUDGET,
+                                        _nmf_loop, _rank1)
 
 _NEG = -1e30
 
@@ -187,9 +188,10 @@ def _trim_kernel(fm_ref, binid_ref, bincnt_ref, k0_ref, e0_ref, rho0_ref,
 
 
 def pick_block_genes_trim(G: int, p: int, W: int, dtype_bytes: int = 4) -> int:
-    """Largest gene-block whose trim working set (~6 full blocks: Fm, lam,
-    A0/KE transients) fits the VMEM budget; multiple of 8 (sublane tiling)."""
-    per_gene = 6 * p * W * dtype_bytes
+    """Largest gene-block whose trim working set (~_TRIM_BLOCKS live
+    buffers: double-buffered Fm, lam scratch, A0/KE/clip transients) fits
+    the VMEM budget; multiple of 8 (sublane tiling)."""
+    per_gene = _TRIM_BLOCKS * p * W * dtype_bytes
     bg = (_VMEM_BUDGET // per_gene) // 8 * 8
     return int(max(8, min(bg, ((G + 7) // 8) * 8)))
 
@@ -291,4 +293,4 @@ def fused_trim_supported(F_shape, dtype) -> bool:
     G, p, W = F_shape
     return (jnp.dtype(dtype) == jnp.float32
             and W % 128 == 0
-            and 8 * 6 * p * W * 4 <= _VMEM_BUDGET)
+            and 8 * _TRIM_BLOCKS * p * W * 4 <= _VMEM_BUDGET)
