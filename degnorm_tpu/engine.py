@@ -245,7 +245,34 @@ class DegNormEngine:
         """Fit DegNorm.  With ``checkpoint_dir``, outer-loop state is
         snapshotted after every iteration and a matching checkpoint found
         there resumes the loop mid-run (the reference has no in-loop
-        checkpointing, SURVEY.md §5.4)."""
+        checkpointing, SURVEY.md §5.4).
+
+        If a Pallas kernel fails to compile on an unforeseen shape
+        (Mosaic/scoped-VMEM errors), the fit is retried once on the plain
+        XLA path rather than aborting the run."""
+        import dataclasses as _dc
+        try:
+            return self._run(cov_dat, reads_dat, checkpoint_dir)
+        except Exception as e:
+            msg = str(e)
+            pallas_issue = any(s in msg for s in
+                               ("vmem", "Mosaic", "mosaic",
+                                "tpu_custom_call"))
+            if not (pallas_issue and self.eng_cfg.use_pallas):
+                raise
+            import logging
+            logging.getLogger("degnorm_tpu").warning(
+                "Pallas kernel failed (%s...); retrying on the XLA path",
+                msg[:200])
+            self.eng_cfg = _dc.replace(self.eng_cfg, use_pallas=False)
+            self._buckets = []
+            self._device_F = []
+            self._device_mask = []
+            return self._run(cov_dat, reads_dat, checkpoint_dir)
+
+    def _run(self, cov_dat: Mapping[str, np.ndarray],
+             reads_dat: np.ndarray,
+             checkpoint_dir: Optional[str] = None) -> DegNormResult:
         import time as _time
         genes = list(cov_dat.keys())
         cov_mats = [np.asarray(cov_dat[g]) for g in genes]
