@@ -28,7 +28,8 @@ import numpy as np
 class DeltaEncoded(NamedTuple):
     first: np.ndarray      # (G, p)   int16 — column 0
     deltas: np.ndarray     # (G, p, W-1) int8 — clipped position deltas
-    exc_idx: np.ndarray    # (n,) int32 — flat indices into deltas
+    exc_idx: np.ndarray    # (n,) int64 — flat indices into deltas (int64:
+                           #   buckets on large-HBM parts exceed 2^31 elems)
     exc_val: np.ndarray    # (n,) int32 — true_delta - clipped_delta
 
 
@@ -63,7 +64,7 @@ def delta_encode(F: np.ndarray) -> Optional[DeltaEncoded]:
         if n_exc > 0.02 * G * row_stride:
             return None
         idx = np.flatnonzero(exc)
-        exc_idx_parts.append((idx + g0 * row_stride).astype(np.int32))
+        exc_idx_parts.append((idx + g0 * row_stride).astype(np.int64))
         exc_val_parts.append(
             (d.reshape(-1)[idx] - clipped.reshape(-1)[idx]).astype(np.int32))
         first[g0:g0 + slab] = Fi[:, :, 0].astype(np.int16)
@@ -72,7 +73,7 @@ def delta_encode(F: np.ndarray) -> Optional[DeltaEncoded]:
         first=first,
         deltas=deltas,
         exc_idx=(np.concatenate(exc_idx_parts) if exc_idx_parts
-                 else np.empty(0, np.int32)),
+                 else np.empty(0, np.int64)),
         exc_val=(np.concatenate(exc_val_parts) if exc_val_parts
                  else np.empty(0, np.int32)),
     )

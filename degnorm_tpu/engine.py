@@ -162,11 +162,16 @@ class DegNormEngine:
         # trim loop's per-round arrays) must coexist with the resident
         # compressed pool, so cap each padded bucket at ~1/8 of HBM
         # (scaled by mesh size — the gene axis shards).
-        try:
-            stats = jax.devices()[0].memory_stats() or {}
-            hbm = int(stats.get("bytes_limit", 16 << 30))
-        except Exception:
-            hbm = 16 << 30
+        # Multi-process runs must pick IDENTICAL bucket shapes on every
+        # process (sharded global arrays), so only probe device memory in
+        # single-process mode; otherwise use the deterministic default.
+        hbm = 16 << 30
+        if jax.process_count() == 1:
+            try:
+                stats = jax.local_devices()[0].memory_stats() or {}
+                hbm = int(stats.get("bytes_limit", hbm))
+            except Exception:
+                pass
         self._buckets = pack_buckets(
             cov_mats,
             bucket_widths=self.eng_cfg.bucket_widths,
@@ -255,9 +260,9 @@ class DegNormEngine:
             return self._run(cov_dat, reads_dat, checkpoint_dir)
         except Exception as e:
             msg = str(e)
-            pallas_issue = any(s in msg for s in
-                               ("vmem", "Mosaic", "mosaic",
-                                "tpu_custom_call"))
+            low = msg.lower()
+            pallas_issue = any(s in low for s in
+                               ("vmem", "mosaic", "tpu_custom_call"))
             if not (pallas_issue and self.eng_cfg.use_pallas):
                 raise
             import logging

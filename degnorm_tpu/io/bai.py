@@ -168,8 +168,9 @@ def index_bam(bam_path: str, bai_path: str = None) -> str:
     raw = bytearray()
     raw_base = 0
 
+    import bisect
+
     def voff(u: int) -> int:
-        import bisect
         i = bisect.bisect_right(tbl_u, u) - 1
         if i < 0:
             return 0
@@ -185,26 +186,9 @@ def index_bam(bam_path: str, bai_path: str = None) -> str:
                 eof = True
             progressed = False
             with memoryview(raw) as view:
-                off = 0
-                while c_off - raw_base + 18 <= len(raw):
+                while True:
                     off = c_off - raw_base
-                    hdr = bytes(view[off:off + 18])
-                    if len(hdr) < 18:
-                        break
-                    xlen = struct.unpack_from("<H", hdr, 10)[0]
-                    if off + 12 + xlen > len(raw):
-                        break
-                    extra = bytes(view[off + 12:off + 12 + xlen])
-                    bsize = None
-                    i = 0
-                    while i + 4 <= len(extra):
-                        si1, si2, slen = extra[i], extra[i + 1], \
-                            struct.unpack_from("<H", extra, i + 2)[0]
-                        if si1 == 66 and si2 == 67 and slen == 2:
-                            bsize = struct.unpack_from(
-                                "<H", extra, i + 4)[0] + 1
-                            break
-                        i += 4 + slen
+                    bsize = bgzf.block_size_at(view, off)
                     if bsize is None or off + bsize > len(raw):
                         break
                     blk, _ = bgzf._read_block(view, off)
@@ -252,10 +236,16 @@ def index_bam(bam_path: str, bai_path: str = None) -> str:
                                         voff(base_u + p),
                                         voff(base_u + p + 4 + bs))
                     p += 4 + bs
-                # evict parsed decompressed bytes
+                # evict parsed decompressed bytes and stale voff-table rows
+                # (voff only ever queries offsets >= parse_from; keep the
+                # covering block) — keeps the whole pass O(1) memory
                 parse_from = base_u + p
                 del data[:p]
                 base_u = parse_from
+                cut = bisect.bisect_right(tbl_u, parse_from) - 1
+                if cut > 0:
+                    del tbl_u[:cut]
+                    del tbl_c[:cut]
 
             if eof and not progressed:
                 break

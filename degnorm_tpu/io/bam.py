@@ -421,19 +421,8 @@ def read_head_qnames(path: str, n_records: int = 301) -> List[str]:
             # the bytearray un-resizable and raise BufferError)
             progressed = False
             with memoryview(raw) as view:
-                while off + 18 <= len(raw):
-                    xlen = struct.unpack_from("<H", view, off + 10)[0]
-                    extra = bytes(view[off + 12: off + 12 + xlen])
-                    bsize = None
-                    i = 0
-                    while i + 4 <= len(extra):
-                        si1, si2, slen = extra[i], extra[i + 1], \
-                            struct.unpack_from("<H", extra, i + 2)[0]
-                        if si1 == 66 and si2 == 67 and slen == 2:
-                            bsize = struct.unpack_from(
-                                "<H", extra, i + 4)[0] + 1
-                            break
-                        i += 4 + slen
+                while True:
+                    bsize = bgzf.block_size_at(view, off)
                     if bsize is None or off + bsize > len(raw):
                         break
                     blk, off = bgzf._read_block(view, off)

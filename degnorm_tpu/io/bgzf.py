@@ -20,23 +20,34 @@ _HDR = struct.Struct("<4BI2B2H")   # magic..XLEN
 _MAX_BLOCK_PAYLOAD = 65280          # keep compressed block < 65536
 
 
-def _read_block(buf: memoryview, off: int) -> Tuple[bytes, int]:
-    """Decode one BGZF block at byte offset ``off``; returns (data, next_off)."""
-    if buf[off] != 0x1F or buf[off + 1] != 0x8B:
-        raise ValueError(f"bad gzip magic at offset {off}")
+def block_size_at(buf, off: int):
+    """Total compressed size of the BGZF block at ``off`` (from its BC
+    extra subfield), or None when the buffered bytes are too short to
+    decide — the shared primitive of every incremental reader."""
+    if off + 18 > len(buf):
+        return None
     xlen = struct.unpack_from("<H", buf, off + 10)[0]
+    if off + 12 + xlen > len(buf):
+        return None
     extra = bytes(buf[off + 12: off + 12 + xlen])
-    bsize = None
     i = 0
     while i + 4 <= len(extra):
         si1, si2, slen = extra[i], extra[i + 1], struct.unpack_from(
             "<H", extra, i + 2)[0]
         if si1 == 66 and si2 == 67 and slen == 2:
-            bsize = struct.unpack_from("<H", extra, i + 4)[0] + 1
-            break
+            return struct.unpack_from("<H", extra, i + 4)[0] + 1
         i += 4 + slen
+    raise ValueError(f"gzip member at {off} lacks BGZF BC subfield")
+
+
+def _read_block(buf: memoryview, off: int) -> Tuple[bytes, int]:
+    """Decode one BGZF block at byte offset ``off``; returns (data, next_off)."""
+    if buf[off] != 0x1F or buf[off + 1] != 0x8B:
+        raise ValueError(f"bad gzip magic at offset {off}")
+    bsize = block_size_at(buf, off)
     if bsize is None:
-        raise ValueError(f"gzip member at {off} lacks BGZF BC subfield")
+        raise ValueError(f"truncated BGZF block at offset {off}")
+    xlen = struct.unpack_from("<H", buf, off + 10)[0]
     cdata_start = off + 12 + xlen
     cdata_end = off + bsize - 8
     data = zlib.decompress(bytes(buf[cdata_start:cdata_end]), wbits=-15)

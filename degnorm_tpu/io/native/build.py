@@ -61,7 +61,8 @@ def load_library() -> Optional[ctypes.CDLL]:
         if _LIB is not None or _FAILED:
             return _LIB
         so = _so_path()
-        if not os.path.isfile(so):
+
+        def build() -> bool:
             cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
                    "-std=c++17", "-pthread", _SRC, _SRC_COV,
                    "-o", so + ".tmp", "-lz"]
@@ -77,11 +78,23 @@ def load_library() -> Optional[ctypes.CDLL]:
                             os.remove(os.path.join(_DIR, f))
                         except OSError:
                             pass
+                return True
             except Exception:
-                _FAILED = True
-                return None
+                return False
+
+        if not os.path.isfile(so) and not build():
+            _FAILED = True
+            return None
         try:
-            lib = ctypes.CDLL(so)
+            try:
+                lib = ctypes.CDLL(so)
+            except OSError:
+                # another process (different source revision) may have
+                # cleaned our .so between the isfile check and the load —
+                # rebuild once rather than permanently losing the fast path
+                if not build():
+                    raise
+                lib = ctypes.CDLL(so)
             lib.dn_read_bam.restype = ctypes.c_int
             lib.dn_read_bam.argtypes = [
                 ctypes.c_char_p, ctypes.c_int32, ctypes.c_int, ctypes.c_int,
