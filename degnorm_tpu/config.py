@@ -108,8 +108,19 @@ class EngineConfig:
     # dominant FLOPs of every rank-1 fit): "vpu" = unrolled row
     # reductions, "mxu" = gene-packed 128-row MXU matmul (f32),
     # "mxu_bf16" = same with bf16 products / f32 accumulation,
-    # "auto" = mxu_bf16 on hardware, vpu in interpret mode.
+    # "packed_slice" = mxu_bf16 gram + the v-contraction (E = X^T u / s)
+    # also on the MXU from the same bf16 row panel, so X never
+    # materializes in f32 inside the loop (returned E is refined by one
+    # f32 pass — ops/pallas_nmf.py::_refine_E_f32),
+    # "auto" = packed_slice on hardware, vpu in interpret mode.
     gram_mode: str = "auto"
+    # Warm-restart power steps per Lagrangian iteration: > 0 replaces the
+    # squared-operator scheme (normalize + square the Gram, then
+    # power_iters_warm/4 doubled steps) with this many plain matvecs —
+    # measured numerically identical (the warm u is already near the
+    # Perron vector) at a fraction of the per-iteration op count.
+    # 0 = squared scheme (the cold-start path always uses it).
+    power_warm_plain: int = 4
     # Computation dtype on device. float32 is TPU-native; the golden oracle
     # runs float64 on host for parity gating.
     dtype: str = "float32"

@@ -126,6 +126,7 @@ def baseline_select_bucket(
         use_pallas=use_pallas,
         pallas_interpret=eng_cfg.pallas_interpret,
         gram_mode=eng_cfg.gram_mode,
+        power_warm_plain=eng_cfg.power_warm_plain,
     )
 
     # ---- high-coverage mask (nmf.py:66-76,220) ----
@@ -220,6 +221,7 @@ def baseline_select_bucket(
             power_iters_cold=eng_cfg.power_iters_cold,
             power_iters_warm=eng_cfg.power_iters_warm,
             gram_mode=eng_cfg.gram_mode,
+            power_warm_plain=eng_cfg.power_warm_plain,
             max_rounds=nmf_cfg.max_trim_rounds,
             min_bins=nmf_cfg.min_bins,
             min_gene_len=nmf_cfg.min_gene_len,

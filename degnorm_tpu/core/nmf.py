@@ -33,6 +33,7 @@ def nmf_masked(
     pallas_interpret: bool = False,
     gene_active=None,
     gram_mode: str = "auto",
+    power_warm_plain: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the NMF-OA loop on a masked gene bucket.
 
@@ -61,7 +62,8 @@ def nmf_masked(
                 power_iters_warm=power_iters_warm,
                 interpret=pallas_interpret,
                 gene_active=gene_active,
-                gram_mode=gram_mode)
+                gram_mode=gram_mode,
+                power_warm_plain=power_warm_plain)
 
     m = mask.astype(F.dtype)
     A0 = F * m[:, None, :]

@@ -92,6 +92,60 @@ def _gram_dispatch(X, gram_mode):
     return _gram(X)
 
 
+def _pack_groups(X):
+    """View the (bg, p, W) block as bf16 row-panel groups of <=128 MXU rows:
+    [(g0, ng, Mg)] with Mg = rows [g0*p, (g0+ng)*p) of X.reshape(bg*p, W).
+
+    This is the ONLY materialization of X in the packed rank-1 path — both
+    the Gram and the v contraction read the bf16 panel, so the f32 X never
+    hits VMEM as a separate buffer."""
+    bg, p, W = X.shape
+    M = X.reshape(bg * p, W).astype(jnp.bfloat16)
+    gpg = max(1, 128 // p)
+    groups = []
+    for g0 in range(0, bg, gpg):
+        ng = min(gpg, bg - g0)
+        groups.append((g0, ng,
+                       jax.lax.slice(M, (g0 * p, 0), ((g0 + ng) * p, W))))
+    return groups
+
+
+def _gram_from_groups(groups, p):
+    """Per-gene p x p Grams from packed panels: one (rows, W) x (rows, W)^T
+    MXU matmul per group; the per-gene Grams are the (128/p-waste) diagonal
+    blocks of the result, extracted by static slices.  (A strided
+    mask-and-lane-reduce extraction was tried and is NOT lowerable: Mosaic
+    rejects the (rows, rows) -> (rows, ng, p) shape cast.)"""
+    Bs = []
+    for g0, ng, Mg in groups:
+        BB = jax.lax.dot_general(
+            Mg, Mg, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for k in range(ng):
+            Bs.append(jax.lax.slice(
+                BB, (k * p, k * p), ((k + 1) * p, (k + 1) * p)))
+    return jnp.stack(Bs, axis=0)
+
+
+def _v_from_groups(groups, u, p, W):
+    """v = X^T u per gene on the MXU, reusing the bf16 panels: with Ug the
+    (ng, rows) block-diagonal embedding of the group's u rows,
+    Ug @ Mg yields every gene's v as its own output row — no f32 pass over
+    X (the VPU form read the whole (bg, p, W) block again per iteration)."""
+    Vs = []
+    for g0, ng, Mg in groups:
+        rows = ng * p
+        ug = jax.lax.slice(u, (g0, 0), (g0 + ng, p))         # (ng, p)
+        u_rep = jnp.tile(ug, (1, ng))                        # (ng, rows)
+        rid = jax.lax.broadcasted_iota(jnp.int32, (ng, rows), 0)
+        cid = jax.lax.broadcasted_iota(jnp.int32, (ng, rows), 1) // p
+        Ug = jnp.where(rid == cid, u_rep, 0.0).astype(jnp.bfloat16)
+        Vs.append(jax.lax.dot_general(
+            Ug, Mg, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    return jnp.concatenate(Vs, axis=0)                       # (bg, W)
+
+
 def _matsq(B):
     """Batched (bg, p, p) @ (bg, p, p) via p unrolled row contractions
     (Mosaic-friendly: slices + broadcasts only, no gathers; p <= 32)."""
@@ -130,16 +184,64 @@ def _power(B, u, n_iters):
     return jax.lax.fori_loop(0, n_bodies, body, u)
 
 
-def _rank1(X, u0, n_iters, gram_mode="vpu"):
+def _power_warm(B, u, n_iters):
+    """Warm-restart power steps: ``n_iters`` plain matvecs with a single
+    final normalization.  For the Lagrangian loop's warm starts (u already
+    near the Perron vector of a slightly-perturbed Gram) this replaces
+    ``_power``'s normalize+square preamble — which costs ~p ops on the
+    (bg, p, p) Gram and only pays off at cold-start iteration counts.
+
+    No intermediate normalization: the Gram is first scaled by its max
+    entry (spectral radius of the scaled matrix <= p), so u grows at most
+    p^n_iters-fold — safe in f32 for the n_iters <= 4 range this is used
+    at."""
+    Babs = jnp.abs(B)
+    bmax = jnp.max(jnp.max(Babs, axis=2, keepdims=True), axis=1,
+                   keepdims=True)
+    Bn = B / (bmax + _EPS)
+    w = u
+    for _ in range(n_iters):
+        w = jnp.sum(Bn * w[:, None, :], axis=2)
+    nrm = jnp.sqrt(jnp.sum(w * w, axis=1, keepdims=True))
+    return jnp.where(nrm > _EPS, w / (nrm + _EPS), u)
+
+
+def _rank1(X, u0, n_iters, gram_mode="vpu", warm_plain=0):
+    """Rank-1 fit of each gene block.  ``warm_plain > 0`` replaces the
+    normalize+square power preamble with that many plain warm-restart
+    matvecs (see ``_power_warm``) — only meaningful when ``u0`` is already
+    near the answer (the Lagrangian loop's warm starts)."""
+    if gram_mode == "packed_slice":
+        p, W = X.shape[1], X.shape[2]
+        groups = _pack_groups(X)
+        B = _gram_from_groups(groups, p)
+        u = (_power_warm(B, u0, warm_plain) if warm_plain
+             else _power(B, u0, n_iters))
+        Bu = jnp.sum(B * u[:, None, :], axis=2)
+        s = jnp.sqrt(jnp.maximum(jnp.sum(u * Bu, axis=1), 0.0))
+        v = _v_from_groups(groups, u, p, W) / (s[:, None] + _EPS)
+        return u * s[:, None], v, u
     B = _gram_dispatch(X, gram_mode)
-    u = _power(B, u0, n_iters)
+    u = (_power_warm(B, u0, warm_plain) if warm_plain
+         else _power(B, u0, n_iters))
     Bu = jnp.sum(B * u[:, None, :], axis=2)
     s = jnp.sqrt(jnp.maximum(jnp.sum(u * Bu, axis=1), 0.0))   # (BG,)
     v = jnp.sum(X * u[:, :, None], axis=1) / (s[:, None] + _EPS)
     return u * s[:, None], v, u
 
 
-def _nmf_loop(A0, lam_ref, *, nmf_iter, power_cold, power_warm, gram_mode):
+def _refine_E_f32(X, K, u):
+    """One f32 pass recomputing E = X^T u / ||K|| (u is unit, so
+    s = ||K||_2 exactly).  The packed modes' inner iterations read X only
+    as a bf16 panel — fine for the self-correcting Lagrangian loop, but
+    the RETURNED factors feed DI scores, so their E is refined to the f32
+    class here (one extra block pass per loop, ~2% of the loop's traffic)."""
+    s = jnp.sqrt(jnp.sum(K * K, axis=1))
+    return jnp.sum(X * u[:, :, None], axis=1) / (s[:, None] + _EPS)
+
+
+def _nmf_loop(A0, lam_ref, *, nmf_iter, power_cold, power_warm, gram_mode,
+              warm_plain=0):
     """The full Lagrangian NMF-OA loop on a VMEM-resident block.
 
     ``lam_ref`` is a (BG, p, W) VMEM scratch for the multipliers; it is
@@ -157,13 +259,17 @@ def _nmf_loop(A0, lam_ref, *, nmf_iter, power_cold, power_warm, gram_mode):
         est = K[:, :, None] * E[:, None, :]
         lam = jnp.maximum(lam_ref[:] - step * (est - A0), 0.0)
         lam_ref[:] = lam
-        return _rank1(A0 + lam, u, power_warm, gram_mode)
+        return _rank1(A0 + lam, u, power_warm, gram_mode,
+                      warm_plain=warm_plain)
 
-    return jax.lax.fori_loop(0, nmf_iter, body, (K, E, u))
+    K, E, u = jax.lax.fori_loop(0, nmf_iter, body, (K, E, u))
+    if gram_mode == "packed_slice":
+        E = _refine_E_f32(A0 + lam_ref[:], K, u)
+    return K, E, u
 
 
 def _nmf_kernel(act_ref, a0_ref, k_ref, e_ref, u_ref, lam_ref, *,
-                nmf_iter, power_cold, power_warm, gram_mode):
+                nmf_iter, power_cold, power_warm, gram_mode, warm_plain=0):
     # Block-level early exit: the trim loop calls this with shrinking
     # per-gene active sets; a block whose genes are all inactive skips the
     # entire Lagrangian loop (outputs zeroed — callers gate on their own
@@ -176,7 +282,7 @@ def _nmf_kernel(act_ref, a0_ref, k_ref, e_ref, u_ref, lam_ref, *,
     def _():
         K, E, u = _nmf_loop(a0_ref[:], lam_ref, nmf_iter=nmf_iter,
                             power_cold=power_cold, power_warm=power_warm,
-                            gram_mode=gram_mode)
+                            gram_mode=gram_mode, warm_plain=warm_plain)
         k_ref[:] = K
         e_ref[:] = E
         u_ref[:] = u
@@ -188,7 +294,9 @@ def _ratio_kernel(a0_ref, cs_ref, es_ref, *, power_cold, gram_mode):
     A0 = a0_ref[:]                                      # (bg, p, W)
     BG, p, W = A0.shape
     u0 = jnp.full((BG, p), 1.0 / (p ** 0.5), A0.dtype)
-    K, E, _ = _rank1(A0, u0, power_cold, gram_mode)
+    K, E, u = _rank1(A0, u0, power_cold, gram_mode)
+    if gram_mode == "packed_slice":
+        E = _refine_E_f32(A0, K, u)
     est = jnp.maximum(K[:, :, None] * E[:, None, :], A0)
     # Unmasked sums are exact: E inherits the column mask through
     # v = A0ᵀu (masked columns of A0 are zero ⇒ E_w = 0 ⇒ est_w = 0).
@@ -209,7 +317,7 @@ def ratio_rowsums_pallas(
     G, p, W = F.shape
     A0 = F * mask.astype(F.dtype)[:, None, :]
     if gram_mode == "auto":
-        gram_mode = "vpu" if interpret else "mxu_bf16"
+        gram_mode = "vpu" if interpret else "packed_slice"
     bg = pick_block_genes(G, p, W)
     G_pad = ((G + bg - 1) // bg) * bg
     if G_pad != G:
@@ -258,6 +366,7 @@ def nmf_masked_pallas(
     interpret: bool = False,
     gene_active: Optional[jnp.ndarray] = None,
     gram_mode: str = "auto",
+    power_warm_plain: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for core.nmf.nmf_masked (method="power").
 
@@ -267,7 +376,12 @@ def nmf_masked_pallas(
     update in the trim loop).
 
     ``gram_mode``: "vpu" (row reductions), "mxu" (gene-packed f32 matmul),
-    "mxu_bf16" (bf16 products, f32 accumulation), or "auto"."""
+    "mxu_bf16" (bf16 products, f32 accumulation), "packed_slice"
+    (mxu_bf16 gram + MXU v-contraction from the same bf16 panel), or
+    "auto".
+
+    ``power_warm_plain``: > 0 replaces the squared-operator warm power
+    scheme with this many plain warm-restart matvecs (see _power_warm)."""
     G, p, W = F.shape
     A0 = F * mask.astype(F.dtype)[:, None, :]
     bg = block_genes or pick_block_genes(G, p, W)
@@ -281,14 +395,18 @@ def nmf_masked_pallas(
         act = jnp.pad(gene_active.astype(F.dtype), (0, G_pad - G))[:, None]
 
     if gram_mode == "auto":
-        # bf16 Gram products (f32 accumulation) are within the power
-        # iteration's own tolerance (see _gram_mxu) and halve MXU passes;
-        # interpret mode keeps the VPU form (the interpreter's matmul
-        # emulation is slow and tests compare against the XLA f32 path).
-        gram_mode = "vpu" if interpret else "mxu_bf16"
+        # packed_slice: bf16 MXU Gram + MXU v-contraction from one shared
+        # bf16 row panel (X never materializes in f32 inside the loop; the
+        # returned E gets one f32 refinement pass). Engine-level DI drift
+        # vs the vpu/f32 path is the same class as mxu_bf16 (mean ~1e-4,
+        # tools/engine_mode_ab.py) at ~1.4x the speed. Interpret mode
+        # keeps the VPU form (the interpreter's matmul emulation is slow
+        # and tests compare against the XLA f32 path).
+        gram_mode = "vpu" if interpret else "packed_slice"
     kernel = functools.partial(
         _nmf_kernel, nmf_iter=nmf_iter, power_cold=power_iters_cold,
-        power_warm=power_iters_warm, gram_mode=gram_mode)
+        power_warm=power_iters_warm, gram_mode=gram_mode,
+        warm_plain=power_warm_plain)
 
     K, E, u = pl.pallas_call(
         kernel,

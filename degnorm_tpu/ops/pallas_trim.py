@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from degnorm_tpu.ops.pallas_nmf import (_TRIM_BLOCKS, _VMEM_BUDGET,
-                                        _nmf_loop, _rank1)
+                                        _nmf_loop, _rank1, _refine_E_f32)
 
 _NEG = -1e30
 
@@ -45,7 +45,7 @@ def _trim_kernel(fm_ref, binid_ref, bincnt_ref, k0_ref, e0_ref, rho0_ref,
                  u0_ref, nhi_ref, nbins_ref, act0_ref,
                  k_ref, rho_ref, ranbs_ref, rounds_ref,
                  lam_ref, *,
-                 nmf_iter, power_cold, power_warm, gram_mode,
+                 nmf_iter, power_cold, power_warm, gram_mode, warm_plain,
                  max_rounds, min_bins, min_gene_len, n_bins_total, fast):
     B = n_bins_total
     # Defaults = loop-never-ran state (also the all-inactive-block result).
@@ -139,14 +139,18 @@ def _trim_kernel(fm_ref, binid_ref, bincnt_ref, k0_ref, e0_ref, rho0_ref,
                     est = Kc[:, :, None] * Ec[:, None, :]
                     lam = jnp.maximum(lam_ref[:] - step * (est - A0), 0.0)
                     lam_ref[:] = lam
-                    return _rank1(A0 + lam, uc, power_warm, gram_mode)
+                    return _rank1(A0 + lam, uc, power_warm, gram_mode,
+                                  warm_plain=warm_plain)
 
                 Kn, En, un = jax.lax.fori_loop(0, n_it, fbody, (Kc, Ec, uc))
+                if gram_mode == "packed_slice":
+                    En = _refine_E_f32(A0 + lam_ref[:], Kn, un)
             else:
                 Kn, En, un = _nmf_loop(A0, lam_ref, nmf_iter=nmf_iter,
                                        power_cold=power_cold,
                                        power_warm=power_warm,
-                                       gram_mode=gram_mode)
+                                       gram_mode=gram_mode,
+                                       warm_plain=warm_plain)
             est_rs = Kn * jnp.sum(En, axis=1, keepdims=True)
             zero_row = (jnp.min(est_rs, axis=1, keepdims=True)
                         == 0.0).astype(dtype)           # nmf.py:315-316
@@ -212,6 +216,7 @@ def trim_loop_pallas(
     power_iters_cold: int,
     power_iters_warm: int,
     gram_mode: str,
+    power_warm_plain: int = 0,
     max_rounds: int,
     min_bins: int,
     min_gene_len: int,
@@ -235,7 +240,7 @@ def trim_loop_pallas(
     B = bin_count.shape[1]
     dtype = Fm.dtype
     if gram_mode == "auto":
-        gram_mode = "vpu" if interpret else "mxu_bf16"
+        gram_mode = "vpu" if interpret else "packed_slice"
 
     bg = pick_block_genes_trim(G, p, W)
     G_pad = ((G + bg - 1) // bg) * bg
@@ -257,6 +262,7 @@ def trim_loop_pallas(
     kernel = functools.partial(
         _trim_kernel, nmf_iter=nmf_iter, power_cold=power_iters_cold,
         power_warm=power_iters_warm, gram_mode=gram_mode,
+        warm_plain=power_warm_plain,
         max_rounds=max_rounds, min_bins=float(min_bins),
         min_gene_len=float(min_gene_len), n_bins_total=B, fast=fast)
 

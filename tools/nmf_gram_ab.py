@@ -1,13 +1,20 @@
-"""A/B the real fused NMF kernel: vpu vs mxu gram, production shapes.
-Jit-wrapped (like the engine's _bucket_step) and dependency-chained so the
-tunneled runtime cannot overlap or skip work."""
+"""A/B the real fused NMF kernel: gram modes x warm-power schemes, at
+production shapes/iteration counts.  Jit-wrapped (like the engine's
+_bucket_step) and dependency-chained so the tunneled runtime cannot
+overlap or skip work.
+
+Modes: vpu / mxu / mxu_bf16 (row-reduction vs gene-packed MXU grams) and
+packed_slice (MXU gram + MXU v-contraction — X materializes only as the
+bf16 row panel).  wp>0 swaps the squared warm-power preamble for wp plain
+warm-restart matvecs (ops/pallas_nmf.py::_power_warm).
+"""
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import functools
 import time
 import jax, jax.numpy as jnp, numpy as np
 from degnorm_tpu.ops.pallas_nmf import nmf_masked_pallas
 
 G, P, W, NMF_ITER = 2048, 8, 1024, 50
+POWER_COLD, POWER_WARM = 128, 24       # EngineConfig defaults
 REPS = 10
 rng = np.random.default_rng(0)
 t = np.linspace(0, 1, W)
@@ -17,12 +24,13 @@ lengths = rng.integers(W//2, W+1, G)
 mask = jnp.asarray(np.arange(W)[None, :] < lengths[:, None])
 np.asarray(F)
 
-def run(mode):
+def run(mode, wp=0):
     @jax.jit
     def step(f):
         K, E, u = nmf_masked_pallas(f, mask, nmf_iter=NMF_ITER,
-                                    power_iters_cold=128, power_iters_warm=24,
-                                    gram_mode=mode)
+                                    power_iters_cold=POWER_COLD,
+                                    power_iters_warm=POWER_WARM,
+                                    gram_mode=mode, power_warm_plain=wp)
         return K, E, f + K[0, 0] * 1e-30
     K, E, f = step(F)
     np.asarray(K)   # compile + warm
@@ -32,13 +40,25 @@ def run(mode):
         K, E, f = step(f)
     np.asarray(K)
     dt = (time.perf_counter() - t0) / REPS
-    print(f"{mode}: {dt*1e3:.1f} ms/call  ({G/dt:.0f} genes/s)", flush=True)
+    print(f"{mode:>14s} wp={wp:<2d}: {dt*1e3:5.1f} ms/call  "
+          f"({G/dt:.0f} genes/s)", flush=True)
     return np.asarray(K), np.asarray(E)
 
-Kv, Ev = run("vpu")
-Km, Em = run("mxu")
-Kb, Eb = run("mxu_bf16")
-for nm, (K2, E2) in (("mxu", (Km, Em)), ("mxu_bf16", (Kb, Eb))):
+COMBOS = [("vpu", 0), ("mxu", 0), ("mxu_bf16", 0), ("packed_slice", 0),
+          ("mxu_bf16", 4), ("packed_slice", 4), ("packed_slice", 8),
+          ("packed_slice", 2)]
+ref = None
+for mode, wp in COMBOS:
+    try:
+        K2, E2 = run(mode, wp)
+    except Exception as e:
+        print(f"{mode} wp={wp}: FAILED {str(e)[:160]}", flush=True)
+        continue
+    if ref is None:
+        ref = (K2, E2)
+        continue
+    Kv, Ev = ref
     relK = np.abs(K2-Kv)/(np.abs(Kv)+1e-6)
     relE = np.abs(E2-Ev)/(np.abs(Ev)+1e-3)
-    print(f"{nm} vs vpu: K maxrel {relK.max():.2e}  E maxrel {relE.max():.2e}")
+    print(f"   vs vpu: K maxrel {relK.max():.2e}  E maxrel {relE.max():.2e}",
+          flush=True)
