@@ -80,6 +80,14 @@ class EngineConfig:
     # negligible cost (power steps are O(p²) vs the O(p²W) Gram).
     power_iters_cold: int = 128
     power_iters_warm: int = 24
+    # Cold-start power iterations for trim rounds >= 1, which warm-start
+    # from the previous round's left vector. Dropping one bin perturbs the
+    # Gram slightly, so the previous Perron vector is an excellent initial
+    # guess and far fewer iterations reach the same fixed point (the
+    # target is unique — this is NOT a numerics deviation like trim_fast,
+    # which carries Lagrange multipliers). Applies to the fused trim
+    # kernel and its XLA while_loop twin identically.
+    power_iters_resume: int = 32
     # Dominant-eigenpair extraction on the p x p Gram matrix: "power"
     # (warm-started power iteration, TPU fast path) or "eigh" (exact batched
     # eigendecomposition, parity/debug path).

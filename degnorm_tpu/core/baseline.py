@@ -63,6 +63,7 @@ class _TrimState(NamedTuple):
     K: jnp.ndarray            # (G, p)
     E: jnp.ndarray            # (G, W)
     rho: jnp.ndarray          # (G, p)
+    u: jnp.ndarray            # (G, p) left vector (cold-resume warm start)
     bin_active: jnp.ndarray   # (G, B) bool
     n_hi: jnp.ndarray         # (G,) int32 surviving column count
     n_bins: jnp.ndarray      # (G,) int32 surviving bin count
@@ -195,7 +196,7 @@ def baseline_select_bucket(
             [jnp.sum(res * (bin_id == b), axis=1) for b in range(B)], axis=1)
 
     state0 = _TrimState(
-        K=K0, E=E0, rho=rho0,
+        K=K0, E=E0, rho=rho0, u=u0,
         bin_active=bin_active0,
         n_hi=n_hi, n_bins=n_bins0,
         active=entered & (jnp.max(rho0, axis=1) > 0.1),   # nmf.py:273
@@ -222,6 +223,7 @@ def baseline_select_bucket(
             power_iters_warm=eng_cfg.power_iters_warm,
             gram_mode=eng_cfg.gram_mode,
             power_warm_plain=eng_cfg.power_warm_plain,
+            power_iters_resume=eng_cfg.power_iters_resume,
             max_rounds=nmf_cfg.max_trim_rounds,
             min_bins=nmf_cfg.min_bins,
             min_gene_len=nmf_cfg.min_gene_len,
@@ -267,8 +269,14 @@ def baseline_select_bucket(
         run_nmf = proceed & (n_hi_new >= 2)
         col_act_new = col_active_from(bin_active)
 
-        Kn, En, _ = nmf_masked(F, col_act_new, gene_active=run_nmf,
-                               **nmf_kwargs)
+        # Cold rank-1 resumed from the previous round's left vector at the
+        # reduced power_iters_resume count (same unique Perron target —
+        # EngineConfig.power_iters_resume; identical in the fused kernel).
+        resume_kwargs = dict(nmf_kwargs,
+                             power_iters_cold=eng_cfg.power_iters_resume
+                             or eng_cfg.power_iters_cold)
+        Kn, En, un = nmf_masked(F, col_act_new, gene_active=run_nmf,
+                                u0=st.u, **resume_kwargs)
         est_rs = Kn * jnp.sum(En, axis=1)[:, None]
         zero_row = jnp.min(est_rs, axis=1) == 0.0       # nmf.py:315-316
         update_rho = run_nmf & ~zero_row
@@ -282,6 +290,7 @@ def baseline_select_bucket(
 
         K = jnp.where(run_nmf[:, None], Kn, st.K)
         E = jnp.where(run_nmf[:, None], En, st.E)
+        u = jnp.where(run_nmf[:, None], un, st.u)
         rho = jnp.where(update_rho[:, None], rho_new, st.rho)
         clipped = st.clipped | update_rho
 
@@ -290,7 +299,7 @@ def baseline_select_bucket(
         active = update_rho & ~floor_hit & (
             jnp.max(rho_new, axis=1) > 0.1)             # nmf.py:273
 
-        return _TrimState(K=K, E=E, rho=rho, bin_active=bin_active,
+        return _TrimState(K=K, E=E, rho=rho, u=u, bin_active=bin_active,
                           n_hi=n_hi_new, n_bins=n_bins_new, active=active,
                           ran_bs=ran_bs, clipped=clipped,
                           rounds=st.rounds + 1,

@@ -34,6 +34,7 @@ def nmf_masked(
     gene_active=None,
     gram_mode: str = "auto",
     power_warm_plain: int = 0,
+    u0: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the NMF-OA loop on a masked gene bucket.
 
@@ -47,6 +48,9 @@ def nmf_masked(
         no active genes skip the loop entirely (outputs zeroed — callers
         must gate every consumer on their own masks, as the trim loop
         does). The XLA path computes all genes regardless.
+      u0: optional (G, p) warm start for the initial cold rank-1 (the trim
+        loop resumes from the previous round's left vectors with a reduced
+        power_iters_cold — the Perron fixed point is unchanged).
 
     Returns (K, E, u): rank-1 factors (G,p), (G,W) and the final unit left
     vector for warm starts. K, E are nonnegative (Perron orientation);
@@ -63,12 +67,14 @@ def nmf_masked(
                 interpret=pallas_interpret,
                 gene_active=gene_active,
                 gram_mode=gram_mode,
-                power_warm_plain=power_warm_plain)
+                power_warm_plain=power_warm_plain,
+                u0=u0)
 
     m = mask.astype(F.dtype)
     A0 = F * m[:, None, :]
 
-    K, E, u = masked_rank_one(F, mask, n_iters=power_iters_cold, method=method)
+    K, E, u = masked_rank_one(F, mask, n_iters=power_iters_cold,
+                              method=method, u0=u0)
     lam = jnp.zeros_like(A0)
     step = 1.0 / jnp.sqrt(jnp.asarray(nmf_iter, F.dtype))
 

@@ -241,14 +241,19 @@ def _refine_E_f32(X, K, u):
 
 
 def _nmf_loop(A0, lam_ref, *, nmf_iter, power_cold, power_warm, gram_mode,
-              warm_plain=0):
+              warm_plain=0, u0=None):
     """The full Lagrangian NMF-OA loop on a VMEM-resident block.
 
     ``lam_ref`` is a (BG, p, W) VMEM scratch for the multipliers; it is
     re-zeroed here, so the same scratch can be reused across calls (the
-    fused trim kernel calls this once per trim round)."""
+    fused trim kernel calls this once per trim round).
+
+    ``u0``: optional warm start for the cold rank-1 (the trim loop passes
+    the previous round's left vectors with ``power_cold`` already reduced
+    to EngineConfig.power_iters_resume)."""
     BG, p, W = A0.shape
-    u0 = jnp.full((BG, p), 1.0 / (p ** 0.5), A0.dtype)
+    if u0 is None:
+        u0 = jnp.full((BG, p), 1.0 / (p ** 0.5), A0.dtype)
 
     K, E, u = _rank1(A0, u0, power_cold, gram_mode)
     lam_ref[:] = jnp.zeros_like(A0)
@@ -268,8 +273,9 @@ def _nmf_loop(A0, lam_ref, *, nmf_iter, power_cold, power_warm, gram_mode,
     return K, E, u
 
 
-def _nmf_kernel(act_ref, a0_ref, k_ref, e_ref, u_ref, lam_ref, *,
-                nmf_iter, power_cold, power_warm, gram_mode, warm_plain=0):
+def _nmf_kernel(act_ref, a0_ref, u0_ref, k_ref, e_ref, u_ref, lam_ref, *,
+                nmf_iter, power_cold, power_warm, gram_mode, warm_plain=0,
+                resume=False):
     # Block-level early exit: the trim loop calls this with shrinking
     # per-gene active sets; a block whose genes are all inactive skips the
     # entire Lagrangian loop (outputs zeroed — callers gate on their own
@@ -282,7 +288,8 @@ def _nmf_kernel(act_ref, a0_ref, k_ref, e_ref, u_ref, lam_ref, *,
     def _():
         K, E, u = _nmf_loop(a0_ref[:], lam_ref, nmf_iter=nmf_iter,
                             power_cold=power_cold, power_warm=power_warm,
-                            gram_mode=gram_mode, warm_plain=warm_plain)
+                            gram_mode=gram_mode, warm_plain=warm_plain,
+                            u0=u0_ref[:] if resume else None)
         k_ref[:] = K
         e_ref[:] = E
         u_ref[:] = u
@@ -367,8 +374,12 @@ def nmf_masked_pallas(
     gene_active: Optional[jnp.ndarray] = None,
     gram_mode: str = "auto",
     power_warm_plain: int = 0,
+    u0: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for core.nmf.nmf_masked (method="power").
+
+    ``u0``: optional (G, p) warm start for the cold rank-1 (trim-round
+    resume — pass power_iters_cold already reduced accordingly).
 
     ``gene_active``: optional (G,) bool — gene blocks whose genes are all
     inactive skip the entire loop (their outputs are zeros; callers must
@@ -393,6 +404,9 @@ def nmf_masked_pallas(
         act = jnp.ones((G_pad, 1), F.dtype)
     else:
         act = jnp.pad(gene_active.astype(F.dtype), (0, G_pad - G))[:, None]
+    resume = u0 is not None
+    u0_arr = (jnp.pad(u0.astype(F.dtype), ((0, G_pad - G), (0, 0)))
+              if resume else jnp.zeros((G_pad, p), F.dtype))
 
     if gram_mode == "auto":
         # packed_slice: bf16 MXU Gram + MXU v-contraction from one shared
@@ -406,7 +420,7 @@ def nmf_masked_pallas(
     kernel = functools.partial(
         _nmf_kernel, nmf_iter=nmf_iter, power_cold=power_iters_cold,
         power_warm=power_iters_warm, gram_mode=gram_mode,
-        warm_plain=power_warm_plain)
+        warm_plain=power_warm_plain, resume=resume)
 
     K, E, u = pl.pallas_call(
         kernel,
@@ -415,6 +429,8 @@ def nmf_masked_pallas(
             pl.BlockSpec((bg, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bg, p, W), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, p), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -432,7 +448,7 @@ def nmf_masked_pallas(
         ),
         scratch_shapes=[pltpu.VMEM((bg, p, W), F.dtype)],
         interpret=interpret,
-    )(act, A0)
+    )(act, A0, u0_arr)
     return K[:G], E[:G], u[:G]
 
 

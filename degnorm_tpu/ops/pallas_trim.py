@@ -45,8 +45,9 @@ def _trim_kernel(fm_ref, binid_ref, bincnt_ref, k0_ref, e0_ref, rho0_ref,
                  u0_ref, nhi_ref, nbins_ref, act0_ref,
                  k_ref, rho_ref, ranbs_ref, rounds_ref,
                  lam_ref, *,
-                 nmf_iter, power_cold, power_warm, gram_mode, warm_plain,
-                 max_rounds, min_bins, min_gene_len, n_bins_total, fast):
+                 nmf_iter, power_cold, power_warm, power_resume, gram_mode,
+                 warm_plain, max_rounds, min_bins, min_gene_len,
+                 n_bins_total, fast):
     B = n_bins_total
     # Defaults = loop-never-ran state (also the all-inactive-block result).
     k_ref[:] = k0_ref[:]
@@ -146,11 +147,14 @@ def _trim_kernel(fm_ref, binid_ref, bincnt_ref, k0_ref, e0_ref, rho0_ref,
                 if gram_mode == "packed_slice":
                     En = _refine_E_f32(A0 + lam_ref[:], Kn, un)
             else:
+                # cold rank-1 warm-started from the previous round's left
+                # vector at the reduced resume iteration count (the Perron
+                # target is unchanged — EngineConfig.power_iters_resume)
                 Kn, En, un = _nmf_loop(A0, lam_ref, nmf_iter=nmf_iter,
-                                       power_cold=power_cold,
+                                       power_cold=power_resume,
                                        power_warm=power_warm,
                                        gram_mode=gram_mode,
-                                       warm_plain=warm_plain)
+                                       warm_plain=warm_plain, u0=u)
             est_rs = Kn * jnp.sum(En, axis=1, keepdims=True)
             zero_row = (jnp.min(est_rs, axis=1, keepdims=True)
                         == 0.0).astype(dtype)           # nmf.py:315-316
@@ -217,6 +221,7 @@ def trim_loop_pallas(
     power_iters_warm: int,
     gram_mode: str,
     power_warm_plain: int = 0,
+    power_iters_resume: int = 0,
     max_rounds: int,
     min_bins: int,
     min_gene_len: int,
@@ -261,8 +266,9 @@ def trim_loop_pallas(
 
     kernel = functools.partial(
         _trim_kernel, nmf_iter=nmf_iter, power_cold=power_iters_cold,
-        power_warm=power_iters_warm, gram_mode=gram_mode,
-        warm_plain=power_warm_plain,
+        power_warm=power_iters_warm,
+        power_resume=power_iters_resume or power_iters_cold,
+        gram_mode=gram_mode, warm_plain=power_warm_plain,
         max_rounds=max_rounds, min_bins=float(min_bins),
         min_gene_len=float(min_gene_len), n_bins_total=B, fast=fast)
 

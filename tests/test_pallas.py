@@ -101,6 +101,32 @@ def test_fused_trim_matches_xla(gram_mode):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_resume_power_iters_drift():
+    """Trim rounds >= 1 resume the cold rank-1 from the previous round's
+    left Perron vector at EngineConfig.power_iters_resume iterations
+    (PARITY.md known deviation 5). Against the full-iteration warm start
+    (resume=power_iters_cold, the superset of the old fresh start) the
+    trim decisions must be identical and DI drift tiny."""
+    rng = np.random.default_rng(46)
+    mats = [random_coverage(rng, 4, L, degraded=(i % 2 == 0)
+                            ).astype(np.float32)
+            for i, L in enumerate((200, 256, 180, 230, 140, 250, 210, 160))]
+    F, mask = make_bucket(mats, 256, dtype=np.float32)
+    cfg = NMFConfig(nmf_iter=12)
+    r_full = baseline_select_bucket(
+        F, mask, cfg, EngineConfig(use_pallas=False, power_iters_resume=128))
+    r_resume = baseline_select_bucket(
+        F, mask, cfg, EngineConfig(use_pallas=False, power_iters_resume=32))
+    assert int(np.asarray(r_full.ran_bs).sum()) > 0, "trim loop never ran"
+    np.testing.assert_array_equal(np.asarray(r_full.ran_bs),
+                                  np.asarray(r_resume.ran_bs))
+    np.testing.assert_array_equal(np.asarray(r_full.rounds_active),
+                                  np.asarray(r_resume.rounds_active))
+    np.testing.assert_allclose(np.asarray(r_resume.rho),
+                               np.asarray(r_full.rho),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_baseline_bucket_with_pallas_path():
     """The whole trim kernel with the fused NMF inside (interpret mode)
     must match the plain XLA path at float32 tolerance."""
