@@ -129,6 +129,15 @@ class EngineConfig:
     # Perron vector) at a fraction of the per-iteration op count.
     # 0 = squared scheme (the cold-start path always uses it).
     power_warm_plain: int = 4
+    # Storage dtype of the Lagrange-multiplier block inside the Pallas
+    # kernels (the largest VMEM-resident scratch, read+written every inner
+    # iteration): "f32", "bf16", or "auto" (= f32: the engine A/B,
+    # tools/lam_ab.py, measured no steady-iteration win from bf16 storage
+    # at p=16/32 — the loop is not multiplier-traffic bound there — so the
+    # bf16 rounding cost is not paid by default). "bf16" rounds the
+    # multipliers to 8 mantissa bits once per inner iteration (update and
+    # factors stay f32); measured DI drift mean ~1e-4.
+    lam_dtype: str = "auto"
     # Computation dtype on device. float32 is TPU-native; the golden oracle
     # runs float64 on host for parity gating.
     dtype: str = "float32"

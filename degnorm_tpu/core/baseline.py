@@ -128,6 +128,7 @@ def baseline_select_bucket(
         pallas_interpret=eng_cfg.pallas_interpret,
         gram_mode=eng_cfg.gram_mode,
         power_warm_plain=eng_cfg.power_warm_plain,
+        lam_dtype=eng_cfg.lam_dtype,
     )
 
     # ---- high-coverage mask (nmf.py:66-76,220) ----
@@ -224,6 +225,7 @@ def baseline_select_bucket(
             gram_mode=eng_cfg.gram_mode,
             power_warm_plain=eng_cfg.power_warm_plain,
             power_iters_resume=eng_cfg.power_iters_resume,
+            lam_dtype=eng_cfg.lam_dtype,
             max_rounds=nmf_cfg.max_trim_rounds,
             min_bins=nmf_cfg.min_bins,
             min_gene_len=nmf_cfg.min_gene_len,

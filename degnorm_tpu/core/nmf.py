@@ -35,6 +35,7 @@ def nmf_masked(
     gram_mode: str = "auto",
     power_warm_plain: int = 0,
     u0: Optional[jnp.ndarray] = None,
+    lam_dtype: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the NMF-OA loop on a masked gene bucket.
 
@@ -68,7 +69,8 @@ def nmf_masked(
                 gene_active=gene_active,
                 gram_mode=gram_mode,
                 power_warm_plain=power_warm_plain,
-                u0=u0)
+                u0=u0,
+                lam_dtype=lam_dtype)
 
     m = mask.astype(F.dtype)
     A0 = F * m[:, None, :]

@@ -256,20 +256,24 @@ def _nmf_loop(A0, lam_ref, *, nmf_iter, power_cold, power_warm, gram_mode,
         u0 = jnp.full((BG, p), 1.0 / (p ** 0.5), A0.dtype)
 
     K, E, u = _rank1(A0, u0, power_cold, gram_mode)
-    lam_ref[:] = jnp.zeros_like(A0)
+    lam_ref[:] = jnp.zeros(lam_ref.shape, lam_ref.dtype)
     step = 1.0 / (nmf_iter ** 0.5)
 
     def body(_, carry):
+        # The multipliers may be STORED bf16 (EngineConfig.lam_dtype) —
+        # the update runs f32 and the unrounded value feeds this
+        # iteration's X, so rounding enters once per iteration.
         K, E, u = carry
         est = K[:, :, None] * E[:, None, :]
-        lam = jnp.maximum(lam_ref[:] - step * (est - A0), 0.0)
-        lam_ref[:] = lam
+        lam = jnp.maximum(lam_ref[:].astype(A0.dtype) - step * (est - A0),
+                          0.0)
+        lam_ref[:] = lam.astype(lam_ref.dtype)
         return _rank1(A0 + lam, u, power_warm, gram_mode,
                       warm_plain=warm_plain)
 
     K, E, u = jax.lax.fori_loop(0, nmf_iter, body, (K, E, u))
     if gram_mode == "packed_slice":
-        E = _refine_E_f32(A0 + lam_ref[:], K, u)
+        E = _refine_E_f32(A0 + lam_ref[:].astype(A0.dtype), K, u)
     return K, E, u
 
 
@@ -351,13 +355,27 @@ def ratio_rowsums_pallas(
     return cs[:G], es[:G]
 
 
-def pick_block_genes(G: int, p: int, W: int, dtype_bytes: int = 4) -> int:
+def _resolve_lam_dtype(lam_dtype: str, p: int, interpret: bool):
+    """EngineConfig.lam_dtype -> storage dtype of the multiplier scratch.
+    "auto" currently keeps f32: the engine-level A/B (tools/lam_ab.py)
+    measured NO steady-iteration win from bf16 storage at p=16/32 (the
+    loop is not multiplier-traffic bound there), so the precision cost
+    isn't paid by default.  "bf16" opts in explicitly."""
+    del p, interpret
+    return jnp.bfloat16 if lam_dtype == "bf16" else jnp.float32
+
+
+def pick_block_genes(G: int, p: int, W: int, dtype_bytes: int = 4,
+                     lam_bf16: bool = False) -> int:
     """Largest gene-block whose working set (~_NMF_BLOCKS live (bg, p, W)
     buffers: double-buffered A0, lambda, est/X transients, Gram packing)
     fits the VMEM budget.  Must be a multiple of 8: the gene axis is the
     second-to-last dim of the (bg, p)/(bg, W) output blocks and TPU tiling
-    requires sublane divisibility."""
+    requires sublane divisibility.  ``lam_bf16`` halves the lambda
+    scratch's share of the budget."""
     per_gene = _NMF_BLOCKS * p * W * dtype_bytes
+    if lam_bf16:
+        per_gene -= p * W * dtype_bytes // 2
     bg = (_VMEM_BUDGET // per_gene) // 8 * 8
     return int(max(8, min(bg, ((G + 7) // 8) * 8)))
 
@@ -375,6 +393,7 @@ def nmf_masked_pallas(
     gram_mode: str = "auto",
     power_warm_plain: int = 0,
     u0: Optional[jnp.ndarray] = None,
+    lam_dtype: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for core.nmf.nmf_masked (method="power").
 
@@ -395,7 +414,9 @@ def nmf_masked_pallas(
     scheme with this many plain warm-restart matvecs (see _power_warm)."""
     G, p, W = F.shape
     A0 = F * mask.astype(F.dtype)[:, None, :]
-    bg = block_genes or pick_block_genes(G, p, W)
+    lam_jdtype = _resolve_lam_dtype(lam_dtype, p, interpret)
+    bg = block_genes or pick_block_genes(
+        G, p, W, lam_bf16=lam_jdtype == jnp.bfloat16)
     # pad G to a multiple of the block size (zero genes are harmless)
     G_pad = ((G + bg - 1) // bg) * bg
     if G_pad != G:
@@ -446,7 +467,7 @@ def nmf_masked_pallas(
             jax.ShapeDtypeStruct((G_pad, W), F.dtype),
             jax.ShapeDtypeStruct((G_pad, p), F.dtype),
         ),
-        scratch_shapes=[pltpu.VMEM((bg, p, W), F.dtype)],
+        scratch_shapes=[pltpu.VMEM((bg, p, W), lam_jdtype)],
         interpret=interpret,
     )(act, A0, u0_arr)
     return K[:G], E[:G], u[:G]

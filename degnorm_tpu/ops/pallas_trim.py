@@ -36,7 +36,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from degnorm_tpu.ops.pallas_nmf import (_TRIM_BLOCKS, _VMEM_BUDGET,
-                                        _nmf_loop, _rank1, _refine_E_f32)
+                                        _nmf_loop, _rank1, _refine_E_f32,
+                                        _resolve_lam_dtype)
 
 _NEG = -1e30
 
@@ -83,7 +84,7 @@ def _trim_kernel(fm_ref, binid_ref, bincnt_ref, k0_ref, e0_ref, rho0_ref,
         if fast:
             # warm-start mode: multipliers persist across rounds in the
             # scratch (masked to surviving columns each round)
-            lam_ref[:] = jnp.zeros(lam_ref.shape, dtype)
+            lam_ref[:] = jnp.zeros(lam_ref.shape, lam_ref.dtype)
 
         def cond(st):
             return (jnp.max(st[7]) > 0) & (st[10] < max_rounds)
@@ -131,21 +132,24 @@ def _trim_kernel(fm_ref, binid_ref, bincnt_ref, k0_ref, e0_ref, rho0_ref,
                 # EngineConfig.trim_fast — an opt-in numeric deviation.
                 n_it = max(nmf_iter // 4, 8)
                 step = 1.0 / (n_it ** 0.5)
-                lam_ref[:] = lam_ref[:] * can[:, None, :]
-                Kc, Ec, uc = _rank1(A0 + lam_ref[:], u, power_warm,
+                lam_masked = lam_ref[:].astype(dtype) * can[:, None, :]
+                lam_ref[:] = lam_masked.astype(lam_ref.dtype)
+                Kc, Ec, uc = _rank1(A0 + lam_masked, u, power_warm,
                                     gram_mode)
 
                 def fbody(_, carry):
                     Kc, Ec, uc = carry
                     est = Kc[:, :, None] * Ec[:, None, :]
-                    lam = jnp.maximum(lam_ref[:] - step * (est - A0), 0.0)
-                    lam_ref[:] = lam
+                    lam = jnp.maximum(
+                        lam_ref[:].astype(dtype) - step * (est - A0), 0.0)
+                    lam_ref[:] = lam.astype(lam_ref.dtype)
                     return _rank1(A0 + lam, uc, power_warm, gram_mode,
                                   warm_plain=warm_plain)
 
                 Kn, En, un = jax.lax.fori_loop(0, n_it, fbody, (Kc, Ec, uc))
                 if gram_mode == "packed_slice":
-                    En = _refine_E_f32(A0 + lam_ref[:], Kn, un)
+                    En = _refine_E_f32(A0 + lam_ref[:].astype(dtype),
+                                       Kn, un)
             else:
                 # cold rank-1 warm-started from the previous round's left
                 # vector at the reduced resume iteration count (the Perron
@@ -195,11 +199,15 @@ def _trim_kernel(fm_ref, binid_ref, bincnt_ref, k0_ref, e0_ref, rho0_ref,
         rounds_ref[:] = st[11]
 
 
-def pick_block_genes_trim(G: int, p: int, W: int, dtype_bytes: int = 4) -> int:
+def pick_block_genes_trim(G: int, p: int, W: int, dtype_bytes: int = 4,
+                          lam_bf16: bool = False) -> int:
     """Largest gene-block whose trim working set (~_TRIM_BLOCKS live
     buffers: double-buffered Fm, lam scratch, A0/KE/clip transients) fits
-    the VMEM budget; multiple of 8 (sublane tiling)."""
+    the VMEM budget; multiple of 8 (sublane tiling).  ``lam_bf16`` halves
+    the lambda scratch's share."""
     per_gene = _TRIM_BLOCKS * p * W * dtype_bytes
+    if lam_bf16:
+        per_gene -= p * W * dtype_bytes // 2
     bg = (_VMEM_BUDGET // per_gene) // 8 * 8
     return int(max(8, min(bg, ((G + 7) // 8) * 8)))
 
@@ -222,6 +230,7 @@ def trim_loop_pallas(
     gram_mode: str,
     power_warm_plain: int = 0,
     power_iters_resume: int = 0,
+    lam_dtype: str = "auto",
     max_rounds: int,
     min_bins: int,
     min_gene_len: int,
@@ -247,7 +256,9 @@ def trim_loop_pallas(
     if gram_mode == "auto":
         gram_mode = "vpu" if interpret else "packed_slice"
 
-    bg = pick_block_genes_trim(G, p, W)
+    lam_jdtype = _resolve_lam_dtype(lam_dtype, p, interpret)
+    bg = pick_block_genes_trim(G, p, W,
+                               lam_bf16=lam_jdtype == jnp.bfloat16)
     G_pad = ((G + bg - 1) // bg) * bg
     pad = G_pad - G
 
@@ -292,7 +303,7 @@ def trim_loop_pallas(
             jax.ShapeDtypeStruct((G_pad, 1), dtype),
             jax.ShapeDtypeStruct((G_pad, 1), dtype),
         ),
-        scratch_shapes=[pltpu.VMEM((bg, p, W), dtype)],
+        scratch_shapes=[pltpu.VMEM((bg, p, W), lam_jdtype)],
         interpret=interpret,
     )(Fm_p, bin_id_p, bincnt_p, K0_p, E0_p, rho0_p, u0_p,
       nhi_p, nbins_p, act_p)

@@ -67,6 +67,25 @@ def test_packed_and_plain_warm_modes(gram_mode, wp):
                                rtol=5e-3, atol=5e-3)
 
 
+def test_bf16_lambda_storage_drift():
+    """bf16-stored Lagrange multipliers (EngineConfig.lam_dtype) round the
+    multipliers once per inner iteration; against f32 storage the factors
+    must stay within the bf16-product tolerance class (PARITY.md
+    deviation 5)."""
+    rng = np.random.default_rng(50)
+    mats = [random_coverage(rng, 16, L).astype(np.float32)
+            for L in (150, 256, 90, 200)]
+    F, mask = make_bucket(mats, 256, dtype=np.float32)
+    kw = dict(nmf_iter=10, power_iters_cold=60, power_iters_warm=12)
+    K1, E1, _ = nmf_masked_pallas(F, mask, interpret=True, **kw)
+    K2, E2, _ = nmf_masked_pallas(F, mask, interpret=True,
+                                  lam_dtype="bf16", **kw)
+    np.testing.assert_allclose(np.asarray(K1), np.asarray(K2),
+                               rtol=5e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(E1), np.asarray(E2),
+                               rtol=5e-3, atol=5e-3)
+
+
 @pytest.mark.parametrize("gram_mode", ["vpu", "mxu"])
 def test_fused_trim_matches_xla(gram_mode):
     """The fully fused trim-loop kernel (ops/pallas_trim.py, interpret
