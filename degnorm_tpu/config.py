@@ -103,6 +103,14 @@ class EngineConfig:
     # gene block (ops/pallas_trim.py) instead of the XLA while_loop around
     # per-round NMF kernel calls. The XLA loop remains the parity target.
     fuse_trim: bool = True
+    # For gene blocks too wide for the VMEM-resident NMF kernel (p*W past
+    # the pallas_supported gate), stream W-chunks through VMEM with
+    # explicit DMA instead of falling back to the XLA lowering
+    # (ops/pallas_stream.py): A0 and the multipliers stay HBM-resident and
+    # each Lagrangian iteration is ONE fused sweep (multiplier update +
+    # next Gram accumulation), ~3 p*W HBM transfers vs the XLA path's ~5+
+    # materializations. Same precision class as the resident kernel.
+    stream_nmf: bool = True
     # OPT-IN deviation from reference numerics (off by default): warm-start
     # each trim round's Lagrangian from the previous round's multipliers
     # (masked to surviving columns) and from its left singular vector,

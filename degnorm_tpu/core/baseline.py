@@ -129,6 +129,7 @@ def baseline_select_bucket(
         gram_mode=eng_cfg.gram_mode,
         power_warm_plain=eng_cfg.power_warm_plain,
         lam_dtype=eng_cfg.lam_dtype,
+        stream=eng_cfg.stream_nmf,
     )
 
     # ---- high-coverage mask (nmf.py:66-76,220) ----

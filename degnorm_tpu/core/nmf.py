@@ -36,6 +36,7 @@ def nmf_masked(
     power_warm_plain: int = 0,
     u0: Optional[jnp.ndarray] = None,
     lam_dtype: str = "auto",
+    stream: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the NMF-OA loop on a masked gene bucket.
 
@@ -71,6 +72,23 @@ def nmf_masked(
                 power_warm_plain=power_warm_plain,
                 u0=u0,
                 lam_dtype=lam_dtype)
+        # Too wide for VMEM residency: stream W-chunks through VMEM with
+        # the multipliers HBM-resident (ops/pallas_stream.py) rather than
+        # dropping to the XLA lowering.  The streamed kernel stores f32
+        # multipliers, so an explicit bf16 opt-in keeps the XLA fallback.
+        if stream and lam_dtype != "bf16":
+            from degnorm_tpu.ops.pallas_stream import (nmf_masked_streamed,
+                                                       streamed_supported)
+            if streamed_supported(F.shape, F.dtype):
+                return nmf_masked_streamed(
+                    F, mask, nmf_iter=nmf_iter,
+                    power_iters_cold=power_iters_cold,
+                    power_iters_warm=power_iters_warm,
+                    interpret=pallas_interpret,
+                    gene_active=gene_active,
+                    gram_mode=gram_mode,
+                    power_warm_plain=power_warm_plain,
+                    u0=u0)
 
     m = mask.astype(F.dtype)
     A0 = F * m[:, None, :]

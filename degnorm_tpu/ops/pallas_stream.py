@@ -1,0 +1,238 @@
+"""W-streamed Pallas NMF kernel for blocks too wide for full VMEM residency.
+
+The fused kernel (ops/pallas_nmf.py) keeps ~7 (bg, p, W)-sized blocks of
+working set VMEM-resident (coverage, multipliers, estimate, packed panels,
+temporaries), which caps p*W: at p=32 only W<=1024 fits, so wider buckets
+previously fell back to the plain XLA lowering (~5 HBM materializations
+per inner iteration).  This kernel keeps ONLY the Lagrange multipliers
+VMEM-resident — one (bg, p, W) block — and streams the (constant) masked
+coverage A0 through two double-buffered W-chunks with explicit DMA, using
+the identity
+
+    est = K (.) E = u u^T X        (s cancels)
+
+to merge the multiplier update and the next Gram accumulation into ONE
+sweep per Lagrangian iteration:
+
+    per chunk c:  load A0_c (DMA, overlapped);
+                  w_c    = u^T (A0_c + lam_c)         # E of the previous
+                  lam'_c = max(lam_c - step (u w_c - A0_c), 0)
+                  B     += gram(A0_c + lam'_c)         # next iteration's u
+    then          u <- power(B, u)
+
+HBM traffic is ONE p*W-sized A0 read per inner iteration (the multipliers
+never leave VMEM) vs the XLA path's ~5 materializations; all elementwise
+work happens fused in VMEM on chunk-sized tiles.  The Gram runs on the
+MXU from bf16 panels exactly like the resident kernel (same precision
+class, PARITY.md deviation 5); the per-iteration w contraction and the
+returned E are f32.
+
+Chunks are unrolled statically (W and the chunk width are compile-time
+constants), so all VMEM slicing uses static lane offsets; Mosaic rejects
+HBM scratch allocations, which this design never needs.
+
+Numerics match ops/pallas_nmf.py::_nmf_loop up to reduction order: same
+cold/warm power schemes on the accumulated Gram, same Lagrangian update.
+Parity is gated in tests/test_stream.py against the XLA path
+(core/nmf.py::nmf_masked), the semantic reference.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from degnorm_tpu.ops.pallas_nmf import (_EPS, _VMEM_BUDGET, _gram,
+                                        _pack_groups, _gram_from_groups,
+                                        _power, _power_warm)
+
+# Chunk width streamed through VMEM. 1024 lanes x 4 B = 4 KB contiguous
+# per (gene, sample) row — comfortably efficient DMA; every bucket width
+# the packer emits above the resident kernel's gate is a multiple.
+_CHUNK_W = 1024
+_STREAM_BG = 8
+
+
+def _gram_chunk(X, gram_mode):
+    """(bg, p, Wc) -> (bg, p, p) partial Gram of one chunk."""
+    if gram_mode == "vpu":
+        return _gram(X)
+    p = X.shape[1]
+    return _gram_from_groups(_pack_groups(X), p)
+
+
+def _stream_kernel(act_ref, a0_any, u0_ref, k_ref, u_ref, e_ref,
+                   lam, a0c0, a0c1, sem0, sem1, *,
+                   nmf_iter, power_cold, power_warm, warm_plain,
+                   gram_mode, resume, W, chunk_w):
+    i = pl.program_id(0)
+    bg, p = k_ref.shape
+    nc = W // chunk_w
+    g0 = i * bg
+    dtype = k_ref.dtype
+    slots = (a0c0, a0c1)
+    sems = (sem0, sem1)
+
+    def a0_dma(c, slot, sem):
+        return pltpu.make_async_copy(
+            a0_any.at[pl.ds(g0, bg), :, c * chunk_w:(c + 1) * chunk_w],
+            slot, sem)
+
+    def sweep(fn, init):
+        """Double-buffered pass over A0 chunks: carry = fn(c, a0_c, carry)."""
+        a0_dma(0, slots[0], sems[0]).start()
+        carry = init
+        for c in range(nc):
+            if c + 1 < nc:
+                a0_dma(c + 1, slots[(c + 1) % 2], sems[(c + 1) % 2]).start()
+            a0_dma(c, slots[c % 2], sems[c % 2]).wait()
+            carry = fn(c, slots[c % 2][:], carry)
+        return carry
+
+    @pl.when(jnp.max(act_ref[:]) == 0.0)
+    def _():
+        k_ref[:] = jnp.zeros(k_ref.shape, dtype)
+        u_ref[:] = jnp.zeros(u_ref.shape, dtype)
+        e_ref[:] = jnp.zeros(e_ref.shape, dtype)
+
+    @pl.when(jnp.max(act_ref[:]) > 0.0)
+    def _():
+        step = 1.0 / (nmf_iter ** 0.5)
+
+        # ---- cold sweep: Gram of A0; zero the resident multipliers ----
+        lam[:] = jnp.zeros(lam.shape, dtype)
+        B = sweep(lambda c, a0, B: B + _gram_chunk(a0, gram_mode),
+                  jnp.zeros((bg, p, p), dtype))
+
+        if resume:
+            u = _power(B, u0_ref[:], power_cold)
+        else:
+            u = _power(B, jnp.full((bg, p), 1.0 / (p ** 0.5), dtype),
+                       power_cold)
+
+        # ---- merged Lagrangian sweeps ----
+        def iter_body(_, carry):
+            u, _B = carry
+
+            def chunk(c, a0, B):
+                lamc = lam[:, :, c * chunk_w:(c + 1) * chunk_w]
+                x_prev = a0 + lamc
+                w = jnp.sum(x_prev * u[:, :, None], axis=1)   # (bg, Wc)
+                est = u[:, :, None] * w[:, None, :]
+                lam_new = jnp.maximum(lamc - step * (est - a0), 0.0)
+                lam[:, :, c * chunk_w:(c + 1) * chunk_w] = lam_new
+                return B + _gram_chunk(a0 + lam_new, gram_mode)
+
+            B = sweep(chunk, jnp.zeros((bg, p, p), dtype))
+            u = (_power_warm(B, u, warm_plain) if warm_plain
+                 else _power(B, u, power_warm))
+            return u, B
+
+        u, B = jax.lax.fori_loop(0, nmf_iter, iter_body, (u, B))
+
+        Bu = jnp.sum(B * u[:, None, :], axis=2)
+        s = jnp.sqrt(jnp.maximum(jnp.sum(u * Bu, axis=1), 0.0))  # (bg,)
+
+        # ---- final sweep: E = X^T u / s (f32) ----
+        def e_chunk(c, a0, _):
+            x = a0 + lam[:, :, c * chunk_w:(c + 1) * chunk_w]
+            w = jnp.sum(x * u[:, :, None], axis=1)
+            e_ref[:, c * chunk_w:(c + 1) * chunk_w] = w / (s[:, None] + _EPS)
+            return _
+
+        sweep(e_chunk, 0)
+        k_ref[:] = u * s[:, None]
+        u_ref[:] = u
+
+
+def streamed_supported(F_shape, dtype) -> bool:
+    """Streamed-path prerequisites: float32, a chunkable width, and the
+    VMEM-resident multiplier block plus the chunk buffers inside budget.
+    Meant for shapes the resident kernel rejects; the caller checks that
+    gate first."""
+    G, p, W = F_shape
+    vmem = (_STREAM_BG * p * W * 4            # resident multipliers
+            + 3 * _STREAM_BG * p * _CHUNK_W * 4)  # 2 DMA slots + temps
+    return (jnp.dtype(dtype) == jnp.float32
+            and W % _CHUNK_W == 0
+            and W > _CHUNK_W
+            and vmem <= _VMEM_BUDGET)
+
+
+def nmf_masked_streamed(
+    F: jnp.ndarray,
+    mask: jnp.ndarray,
+    *,
+    nmf_iter: int,
+    power_iters_cold: int = 30,
+    power_iters_warm: int = 6,
+    interpret: bool = False,
+    gene_active: Optional[jnp.ndarray] = None,
+    gram_mode: str = "auto",
+    power_warm_plain: int = 0,
+    u0: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Drop-in replacement for core.nmf.nmf_masked (method="power") for
+    blocks too wide for the VMEM-resident kernel.  Same contract as
+    nmf_masked_pallas including zeroed outputs for skipped blocks."""
+    G, p, W = F.shape
+    A0 = F * mask.astype(F.dtype)[:, None, :]
+    bg = _STREAM_BG
+    G_pad = ((G + bg - 1) // bg) * bg
+    if G_pad != G:
+        A0 = jnp.pad(A0, ((0, G_pad - G), (0, 0), (0, 0)))
+    if gene_active is None:
+        act = jnp.ones((G_pad, 1), F.dtype)
+    else:
+        act = jnp.pad(gene_active.astype(F.dtype), (0, G_pad - G))[:, None]
+    resume = u0 is not None
+    u0_arr = (jnp.pad(u0.astype(F.dtype), ((0, G_pad - G), (0, 0)))
+              if resume else jnp.zeros((G_pad, p), F.dtype))
+    if gram_mode in ("auto", "packed_slice", "mxu_bf16"):
+        gram_mode = "vpu" if interpret else "packed"
+    elif gram_mode == "mxu":
+        gram_mode = "packed"
+
+    kernel = functools.partial(
+        _stream_kernel, nmf_iter=nmf_iter, power_cold=power_iters_cold,
+        power_warm=power_iters_warm, warm_plain=power_warm_plain,
+        gram_mode=gram_mode, resume=resume, W=W, chunk_w=_CHUNK_W)
+
+    cdt = F.dtype
+    K, u, E = pl.pallas_call(
+        kernel,
+        grid=(G_pad // bg,),
+        in_specs=[
+            pl.BlockSpec((bg, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((bg, p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bg, p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((G_pad, p), cdt),
+            jax.ShapeDtypeStruct((G_pad, p), cdt),
+            jax.ShapeDtypeStruct((G_pad, W), cdt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bg, p, W), cdt),
+            pltpu.VMEM((bg, p, _CHUNK_W), cdt),
+            pltpu.VMEM((bg, p, _CHUNK_W), cdt),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(act, A0, u0_arr)
+    return K[:G], E[:G], u[:G]

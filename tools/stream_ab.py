@@ -1,0 +1,61 @@
+"""A/B the W-streamed NMF kernel (ops/pallas_stream.py) against the XLA
+fallback it replaces, at the wide shapes the resident kernel's VMEM gate
+rejects (config-5's p=32 buckets).  Jit-wrapped and dependency-chained so
+the tunneled runtime cannot overlap or skip work.
+
+Usage: python tools/stream_ab.py [P [W [G]]]
+"""
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
+import jax, jax.numpy as jnp, numpy as np
+from degnorm_tpu.core.nmf import nmf_masked
+from degnorm_tpu.ops.pallas_nmf import pallas_supported
+from degnorm_tpu.ops.pallas_stream import nmf_masked_streamed
+
+P = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+W = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+G = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+NMF_ITER = 50
+POWER_COLD, POWER_WARM, WARM_PLAIN = 128, 24, 4
+REPS = 5
+
+assert not pallas_supported((G, P, W), np.float32), \
+    "shape fits the resident kernel; this A/B targets gate rejects"
+
+rng = np.random.default_rng(0)
+t = np.linspace(0, 1, W)
+base = np.abs(np.sin(np.pi * t) + 0.2)[None, None, :]
+F = jnp.asarray((base * (0.5 + rng.random((G, P, 1))) * 40).astype(np.float32))
+lengths = rng.integers(W // 2, W + 1, G)
+mask = jnp.asarray(np.arange(W)[None, :] < lengths[:, None])
+np.asarray(F)
+
+
+def run(name, **kw):
+    @jax.jit
+    def step(f):
+        K, E, u = nmf_masked(f, mask, nmf_iter=NMF_ITER,
+                             power_iters_cold=POWER_COLD,
+                             power_iters_warm=POWER_WARM,
+                             power_warm_plain=WARM_PLAIN,
+                             gram_mode="auto", **kw)
+        return K, E, f + K[0, 0] * 1e-30
+    K, E, f = step(F)
+    np.asarray(K)   # compile + warm
+    t0 = time.perf_counter()
+    f = F
+    for _ in range(REPS):
+        K, E, f = step(f)
+    np.asarray(K)
+    dt = (time.perf_counter() - t0) / REPS
+    print(f"{name:>8s}: {dt*1e3:7.1f} ms/call  ({G/dt:.0f} genes/s)",
+          flush=True)
+    return np.asarray(K), np.asarray(E)
+
+
+Kx, Ex = run("xla", use_pallas=False)
+Ks, Es = run("stream", use_pallas=True)
+relK = np.abs(Ks - Kx) / (np.abs(Kx) + 1e-6)
+relE = np.abs(Es - Ex) / (np.abs(Ex) + 1e-3)
+print(f"stream vs xla: K maxrel {relK.max():.2e}  E maxrel {relE.max():.2e}",
+      flush=True)
