@@ -11,9 +11,24 @@ geometric; widths are multiples of 128 to match TPU lane tiling.
 from __future__ import annotations
 
 import dataclasses
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Sequence
 
 import numpy as np
+
+
+def integral_int16able(cov_mats: Sequence[np.ndarray],
+                       threads: int = 4) -> bool:
+    """True when every matrix is exactly representable as int16 (integral,
+    in [0, 32766]) — one threaded read pass over the ragged inputs; buys
+    packing the padded buckets at half the float32 bytes."""
+    def check(F):
+        if F.dtype.kind in "iu":
+            return F.min(initial=0) >= 0 and F.max(initial=0) < 32767
+        return (F.min(initial=0.0) >= 0.0 and F.max(initial=0.0) < 32767
+                and bool(np.all(F == np.floor(F))))
+    with ThreadPoolExecutor(threads) as ex:
+        return all(ex.map(check, cov_mats, chunksize=256))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -67,6 +82,7 @@ def pack_buckets(
     max_genes_per_bucket: int = 0,
     quantize_genes: bool = True,
     max_bucket_bytes: int = 0,
+    budget_itemsize: int = 0,
 ) -> List[GeneBucket]:
     """Pack ragged (p x L_i) matrices into padded GeneBuckets.
 
@@ -89,7 +105,10 @@ def pack_buckets(
         groups.setdefault(w, []).append(i)
 
     buckets: List[GeneBucket] = []
-    itemsize = np.dtype(dtype).itemsize
+    # max_bucket_bytes guards the DEVICE footprint, where the bucket lives
+    # in the compute dtype — size the cap by that itemsize, not the
+    # (possibly narrower) host packing dtype.
+    itemsize = budget_itemsize or np.dtype(dtype).itemsize
     for w in sorted(groups):
         idxs = groups[w]
         cap = max_genes_per_bucket if max_genes_per_bucket > 0 else len(idxs)
@@ -108,11 +127,26 @@ def pack_buckets(
             F = np.zeros((g_pad, p, w), dtype=dtype)
             lengths = np.zeros(g_pad, dtype=np.int32)
             gene_indices = np.full(g_pad, -1, dtype=np.int32)
-            for slot, gi in enumerate(chunk):
-                Li = cov_mats[gi].shape[1]
-                F[slot, :, :Li] = cov_mats[gi]
-                lengths[slot] = Li
-                gene_indices[slot] = gi
+
+            def fill(lo_hi):
+                lo, hi = lo_hi
+                for slot in range(lo, hi):
+                    gi = chunk[slot]
+                    Li = cov_mats[gi].shape[1]
+                    F[slot, :, :Li] = cov_mats[gi]
+                    lengths[slot] = Li
+                    gene_indices[slot] = gi
+
+            # Slice-assignment is a (casting) memcpy that releases the GIL;
+            # thread the copy loop — page-fault zeroing of the padded
+            # buffer and the copies themselves both parallelize.
+            n_threads = min(4, max(1, g // 512))
+            bounds = np.linspace(0, g, n_threads + 1).astype(int)
+            if n_threads > 1:
+                with ThreadPoolExecutor(n_threads) as ex:
+                    list(ex.map(fill, zip(bounds[:-1], bounds[1:])))
+            else:
+                fill((0, g))
             # zero-length padding genes break nothing, but give them length 1
             # so len_mask arithmetic stays trivially valid.
             lengths[g:] = 1

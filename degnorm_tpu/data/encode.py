@@ -20,6 +20,7 @@ Encoding is used only when exactly lossless and actually smaller
 from __future__ import annotations
 
 import functools
+from concurrent.futures import ThreadPoolExecutor
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -33,48 +34,69 @@ class DeltaEncoded(NamedTuple):
     exc_val: np.ndarray    # (n,) int32 — true_delta - clipped_delta
 
 
-def delta_encode(F: np.ndarray) -> Optional[DeltaEncoded]:
+def delta_encode(F: np.ndarray,
+                 n_real: Optional[int] = None) -> Optional[DeltaEncoded]:
     """Encode an integral (G, p, W) coverage batch; None when ineligible.
 
     Works gene-slab-wise so the int32 transients stay bounded (~tens of MB)
     even for multi-GB buckets — the whole-array form would briefly allocate
     ~4x the bucket's bytes on the very path meant to cut transfer cost.
+    Slabs are threaded (numpy ufuncs release the GIL).
+
+    int16 input (buckets packed via integral_int16able) skips the
+    integrality validation passes.  ``n_real`` marks how many leading genes
+    are real: trailing padding genes are all-zero, so their encoder output
+    rows are left as never-touched calloc pages (no write, no page fault).
     """
     if F.ndim != 3 or F.shape[2] < 2:
         return None
     G, p, W = F.shape
+    g_enc = G if n_real is None else min(max(n_real, 0), G)
     slab = max(1, (64 << 20) // max(p * W * 4, 1))
-    first = np.empty((G, p), np.int16)
-    deltas = np.empty((G, p, W - 1), np.int8)
-    exc_idx_parts, exc_val_parts = [], []
-    n_exc = 0
+    first = np.zeros((G, p), np.int16)
+    deltas = np.zeros((G, p, W - 1), np.int8)
     row_stride = p * (W - 1)
-    for g0 in range(0, G, slab):
+    starts = list(range(0, g_enc, slab))
+    parts: list = [None] * len(starts)
+
+    def encode_slab(si):
+        g0 = starts[si]
         Fs = F[g0:g0 + slab]
         if Fs.dtype.kind == "f":
             if Fs.max(initial=0.0) >= 32767 or not np.all(Fs == np.floor(Fs)):
-                return None
-        Fi = Fs.astype(np.int32)
+                return False
+            Fi = Fs.astype(np.int32)
+        else:
+            if Fs.max(initial=0) >= 32767:
+                return False
+            Fi = Fs     # int16 packing already bounds the values
         if Fi.min(initial=0) < 0:
-            return None
-        d = np.diff(Fi, axis=2)
+            return False
+        d = np.diff(Fi, axis=2)      # int16 diffs cannot overflow int16
         clipped = np.clip(d, -128, 127)
         exc = d != clipped
-        n_exc += int(exc.sum())
-        if n_exc > 0.02 * G * row_stride:
-            return None
         idx = np.flatnonzero(exc)
-        exc_idx_parts.append((idx + g0 * row_stride).astype(np.int64))
-        exc_val_parts.append(
-            (d.reshape(-1)[idx] - clipped.reshape(-1)[idx]).astype(np.int32))
-        first[g0:g0 + slab] = Fi[:, :, 0].astype(np.int16)
+        parts[si] = (
+            (idx + g0 * row_stride).astype(np.int64),
+            (d.reshape(-1)[idx].astype(np.int32)
+             - clipped.reshape(-1)[idx].astype(np.int32)),
+        )
+        first[g0:g0 + slab] = Fi[:, :, 0]
         deltas[g0:g0 + slab] = clipped.astype(np.int8)
+        return True
+
+    with ThreadPoolExecutor(min(4, max(1, len(starts)))) as ex:
+        if not all(ex.map(encode_slab, range(len(starts)))):
+            return None
+    n_exc = sum(len(ip) for ip, _ in parts)
+    if n_exc > 0.02 * max(g_enc, 1) * row_stride:
+        return None
     return DeltaEncoded(
         first=first,
         deltas=deltas,
-        exc_idx=(np.concatenate(exc_idx_parts) if exc_idx_parts
+        exc_idx=(np.concatenate([ip for ip, _ in parts]) if parts
                  else np.empty(0, np.int64)),
-        exc_val=(np.concatenate(exc_val_parts) if exc_val_parts
+        exc_val=(np.concatenate([vp for _, vp in parts]) if parts
                  else np.empty(0, np.int32)),
     )
 

@@ -172,18 +172,33 @@ class DegNormEngine:
                 hbm = int(stats.get("bytes_limit", hbm))
             except Exception:
                 pass
+        import time as _time
+        t0 = _time.perf_counter()
+        # Integral small-valued coverage (the common case — read pileups)
+        # packs straight into int16: half the float32 page-fault/copy cost
+        # and the delta encoder skips its validation passes.
+        from degnorm_tpu.data.buckets import integral_int16able
+        pack_dtype = (np.int16
+                      if dtype == jnp.float32 and integral_int16able(cov_mats)
+                      else np.dtype(dtype.name))
+        self.timings["pack_scan"] = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
         self._buckets = pack_buckets(
             cov_mats,
             bucket_widths=self.eng_cfg.bucket_widths,
-            dtype=np.dtype(dtype.name),
+            dtype=pack_dtype,
             pad_genes_to=n_devices,
             max_genes_per_bucket=self.eng_cfg.max_genes_per_batch,
             max_bucket_bytes=max(hbm // 8, 512 << 20) * max(n_devices, 1),
+            budget_itemsize=dtype.itemsize,
         )
+        self.timings["pack_host"] = _time.perf_counter() - t0
         def upload_form(F):
             # integral coverage bounded by int16 uploads at half the bytes
             # (host->device links are often the cold-start bottleneck);
             # kernels cast back to the compute dtype on device.
+            if F.dtype == np.int16:
+                return F
             if (dtype == jnp.float32 and F.max() < 32767
                     and np.all(F == np.floor(F))):
                 return F.astype(np.int16)
@@ -210,9 +225,10 @@ class DegNormEngine:
         else:
             from degnorm_tpu.data.encode import (delta_decode_device,
                                                  delta_encode)
+            t0 = _time.perf_counter()
             self._device_F = []
             for b in self._buckets:
-                enc = (delta_encode(b.F)
+                enc = (delta_encode(b.F, n_real=b.n_real)
                        if dtype == jnp.float32 else None)
                 if enc is not None:
                     # int8-delta upload (~quarter of float32 bytes), exact
@@ -228,6 +244,7 @@ class DegNormEngine:
                 self._device_F.append(jnp.asarray(upload_form(b.F)))
             self._device_mask = [jnp.asarray(b.len_mask())
                                  for b in self._buckets]
+            self.timings["encode_upload"] = _time.perf_counter() - t0
 
     def _ds_starts(self, bucket: GeneBucket, iteration: int) -> jnp.ndarray:
         """Deterministic per-gene systematic-sampling offsets.
@@ -297,9 +314,10 @@ class DegNormEngine:
                     "downsample_rate exceeds the shortest gene length")
 
         t0 = _time.perf_counter()
+        self.timings = {}
         self._pack(cov_mats)
         dtype = jnp.dtype(self.eng_cfg.dtype)
-        self.timings = {"pack": _time.perf_counter() - t0}
+        self.timings["pack"] = _time.perf_counter() - t0
 
         device_loop = (self.eng_cfg.device_loop
                        if self.eng_cfg.device_loop is not None

@@ -50,11 +50,33 @@ from degnorm_tpu.ops.pallas_nmf import (_EPS, _VMEM_BUDGET, _gram,
                                         _pack_groups, _gram_from_groups,
                                         _power, _power_warm)
 
-# Chunk width streamed through VMEM. 1024 lanes x 4 B = 4 KB contiguous
-# per (gene, sample) row — comfortably efficient DMA; every bucket width
-# the packer emits above the resident kernel's gate is a multiple.
+# Minimum chunk width streamed through VMEM. 1024 lanes x 4 B = 4 KB
+# contiguous per (gene, sample) row — comfortably efficient DMA; every
+# bucket width the packer emits above the resident kernel's gate is a
+# multiple.  The actual chunk width scales up to whatever VMEM affords
+# (fewer, larger DMAs — the sweep is issue-latency sensitive).
 _CHUNK_W = 1024
 _STREAM_BG = 8
+
+
+def _pick_chunk_w(p: int, W: int) -> int:
+    """Largest chunk width (multiple of _CHUNK_W dividing W) whose resident
+    multipliers + two DMA slots + chunk temporaries stay inside budget."""
+    # >= 2 chunks keeps the DMA/compute overlap (a single whole-row chunk
+    # serializes every sweep behind its own load — measured slower even
+    # though it minimizes issue count); whole-row is the fallback for
+    # widths with no streamable divisor.
+    cands = [m * _CHUNK_W for m in range(1, W // (2 * _CHUNK_W) + 1)
+             if W % (m * _CHUNK_W) == 0]
+    if not cands and W % 128 == 0:
+        cands = [W]      # narrow-W, large-p shapes: single whole-row chunk
+    best = 0
+    for cw in cands:
+        # lam block + 2 slots + ~3 chunk-sized elementwise temporaries
+        vmem = _STREAM_BG * p * 4 * (W + 5 * cw)
+        if vmem <= _VMEM_BUDGET:
+            best = cw
+    return best
 
 
 def _gram_chunk(X, gram_mode):
@@ -150,17 +172,13 @@ def _stream_kernel(act_ref, a0_any, u0_ref, k_ref, u_ref, e_ref,
 
 
 def streamed_supported(F_shape, dtype) -> bool:
-    """Streamed-path prerequisites: float32, a chunkable width, and the
-    VMEM-resident multiplier block plus the chunk buffers inside budget.
+    """Streamed-path prerequisites: float32 and a chunking whose
+    VMEM-resident multiplier block plus chunk buffers fit the budget.
     Meant for shapes the resident kernel rejects; the caller checks that
     gate first."""
     G, p, W = F_shape
-    vmem = (_STREAM_BG * p * W * 4            # resident multipliers
-            + 3 * _STREAM_BG * p * _CHUNK_W * 4)  # 2 DMA slots + temps
     return (jnp.dtype(dtype) == jnp.float32
-            and W % _CHUNK_W == 0
-            and W > _CHUNK_W
-            and vmem <= _VMEM_BUDGET)
+            and _pick_chunk_w(p, W) > 0)
 
 
 def nmf_masked_streamed(
@@ -197,10 +215,11 @@ def nmf_masked_streamed(
     elif gram_mode == "mxu":
         gram_mode = "packed"
 
+    chunk_w = _pick_chunk_w(p, W)
     kernel = functools.partial(
         _stream_kernel, nmf_iter=nmf_iter, power_cold=power_iters_cold,
         power_warm=power_iters_warm, warm_plain=power_warm_plain,
-        gram_mode=gram_mode, resume=resume, W=W, chunk_w=_CHUNK_W)
+        gram_mode=gram_mode, resume=resume, W=W, chunk_w=chunk_w)
 
     cdt = F.dtype
     K, u, E = pl.pallas_call(
@@ -228,8 +247,8 @@ def nmf_masked_streamed(
         ),
         scratch_shapes=[
             pltpu.VMEM((bg, p, W), cdt),
-            pltpu.VMEM((bg, p, _CHUNK_W), cdt),
-            pltpu.VMEM((bg, p, _CHUNK_W), cdt),
+            pltpu.VMEM((bg, p, chunk_w), cdt),
+            pltpu.VMEM((bg, p, chunk_w), cdt),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],

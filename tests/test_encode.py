@@ -22,6 +22,37 @@ def test_roundtrip_lossless():
     assert nbytes < 0.55 * F.size * 2         # ~half of the int16 form
 
 
+def test_int16_input_and_pad_skip_roundtrip():
+    """int16-packed buckets (data/buckets.py integral_int16able path) must
+    encode identically to the float32 form, and trailing padding genes
+    (n_real) must decode to zeros."""
+    rng = np.random.default_rng(2)
+    G, p, W = 6, 4, 256
+    F = np.zeros((G, p, W), np.float32)
+    for i in range(4):                         # genes 4,5 are padding
+        m = np.round(random_coverage(rng, p, W - 16 * i))
+        F[i, :, :m.shape[1]] = m
+    F[0, 1, 5] = 9000.0                        # delta exception
+    enc_f = delta_encode(F, n_real=4)
+    enc_i = delta_encode(F.astype(np.int16), n_real=4)
+    assert enc_f is not None and enc_i is not None
+    for a, b in zip(enc_f, enc_i):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    dec = np.asarray(delta_decode_device(*map(np.asarray, enc_i)))
+    np.testing.assert_array_equal(dec.astype(np.float32), F)
+
+
+def test_integral_int16able():
+    from degnorm_tpu.data.buckets import integral_int16able
+    rng = np.random.default_rng(3)
+    mats = [np.round(random_coverage(rng, 3, 200)).astype(np.float32)
+            for _ in range(10)]
+    assert integral_int16able(mats)
+    assert integral_int16able([m.astype(np.int32) for m in mats])
+    assert not integral_int16able(mats + [mats[0] + 0.5])
+    assert not integral_int16able(mats + [mats[0] * 1e5])
+
+
 def test_rejects_lossy_cases():
     F = np.ones((2, 2, 8), np.float32)
     assert delta_encode(F + 0.25) is None     # non-integral
@@ -49,7 +80,7 @@ def test_engine_delta_path_matches_direct():
     # force the direct (non-delta) upload path
     import degnorm_tpu.data.encode as enc_mod
     orig = enc_mod.delta_encode
-    enc_mod.delta_encode = lambda F: None
+    enc_mod.delta_encode = lambda F, n_real=None: None
     try:
         r2 = DegNormEngine(cfg, EngineConfig()).run(cov, X.copy())
     finally:

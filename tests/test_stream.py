@@ -27,7 +27,9 @@ def wide_bucket(rng, n_genes, p, W, degrade_every=2):
 
 def test_streamed_supported_gate():
     assert streamed_supported((8, 32, 2 * _CHUNK_W), np.float32)
-    assert not streamed_supported((8, 32, _CHUNK_W + 128), np.float32)
+    # non-multiple widths fall back to a single whole-row chunk
+    assert streamed_supported((8, 32, _CHUNK_W + 128), np.float32)
+    assert not streamed_supported((8, 32, _CHUNK_W + 64), np.float32)
     assert not streamed_supported((8, 32, 2 * _CHUNK_W), np.float64)
     assert not streamed_supported((8, 200, 2 * _CHUNK_W), np.float32)
 
