@@ -99,6 +99,8 @@ def baseline_select_bucket(
     eng_cfg: EngineConfig,
     ds_start: Optional[jnp.ndarray] = None,
     with_estimates: bool = True,
+    F_raw: Optional[jnp.ndarray] = None,
+    scale: Optional[jnp.ndarray] = None,
 ) -> BucketResult:
     """Run baseline selection for every gene in a padded bucket.
 
@@ -110,6 +112,9 @@ def baseline_select_bucket(
         [0, downsample_rate); required iff downsample_rate > 1.  The
         reference draws these from a thread-shared RNG (racy — SURVEY.md
         §2.2); we take deterministic per-gene offsets instead.
+      F_raw/scale: the raw (unadjusted, typically int16) device coverage
+        and per-sample scale vector with F == F_raw/scale — lets the
+        streamed NMF kernel read half the HBM bytes (core/nmf.py).
     """
     G, p, W = F.shape
     dtype = F.dtype
@@ -130,6 +135,8 @@ def baseline_select_bucket(
         power_warm_plain=eng_cfg.power_warm_plain,
         lam_dtype=eng_cfg.lam_dtype,
         stream=eng_cfg.stream_nmf,
+        F_raw=F_raw,
+        scale=scale,
     )
 
     # ---- high-coverage mask (nmf.py:66-76,220) ----

@@ -37,6 +37,8 @@ def nmf_masked(
     u0: Optional[jnp.ndarray] = None,
     lam_dtype: str = "auto",
     stream: bool = True,
+    F_raw: Optional[jnp.ndarray] = None,
+    scale: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the NMF-OA loop on a masked gene bucket.
 
@@ -53,6 +55,10 @@ def nmf_masked(
       u0: optional (G, p) warm start for the initial cold rank-1 (the trim
         loop resumes from the previous round's left vectors with a reduced
         power_iters_cold — the Perron fixed point is unchanged).
+      F_raw/scale: the engine's raw device-resident coverage (typically
+        int16) and the per-sample scale vector with F == F_raw/scale; the
+        streamed kernel then reads F_raw at half the HBM bytes and adjusts
+        per chunk, bit-identically (see ops/pallas_stream.py).
 
     Returns (K, E, u): rank-1 factors (G,p), (G,W) and the final unit left
     vector for warm starts. K, E are nonnegative (Perron orientation);
@@ -80,15 +86,17 @@ def nmf_masked(
             from degnorm_tpu.ops.pallas_stream import (nmf_masked_streamed,
                                                        streamed_supported)
             if streamed_supported(F.shape, F.dtype):
+                use_raw = F_raw is not None and scale is not None
                 return nmf_masked_streamed(
-                    F, mask, nmf_iter=nmf_iter,
+                    F_raw if use_raw else F, mask, nmf_iter=nmf_iter,
                     power_iters_cold=power_iters_cold,
                     power_iters_warm=power_iters_warm,
                     interpret=pallas_interpret,
                     gene_active=gene_active,
                     gram_mode=gram_mode,
                     power_warm_plain=power_warm_plain,
-                    u0=u0)
+                    u0=u0,
+                    scale=scale if use_raw else None)
 
     m = mask.astype(F.dtype)
     A0 = F * m[:, None, :]

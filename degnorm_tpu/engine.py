@@ -43,12 +43,19 @@ def _bucket_step(F, len_mask, scale_factors, ds_start, nmf_cfg: NMFConfig,
     intermediate iterations only need DI scores.
 
     ``F`` may arrive as int16 (integral coverage uploads at half the
-    bytes); it is cast to the compute dtype on device."""
+    bytes); it is cast to the compute dtype on device.  The int16 original
+    is also handed down as ``F_raw`` so the streamed NMF kernel can read
+    it directly at half the HBM bytes (ops/pallas_stream.py — in-chunk
+    cast/divide/mask, bit-identical)."""
+    F_raw = F if F.dtype == jnp.int16 else None
     F = F.astype(scale_factors.dtype)
     F_adj = F / scale_factors[None, :, None]
     return baseline_select_bucket(F_adj, len_mask, nmf_cfg, eng_cfg,
                                   ds_start=ds_start,
-                                  with_estimates=with_estimates)
+                                  with_estimates=with_estimates,
+                                  F_raw=F_raw,
+                                  scale=(scale_factors if F_raw is not None
+                                         else None))
 
 
 

@@ -87,32 +87,43 @@ def _gram_chunk(X, gram_mode):
     return _gram_from_groups(_pack_groups(X), p)
 
 
-def _stream_kernel(act_ref, a0_any, u0_ref, k_ref, u_ref, e_ref,
-                   lam, a0c0, a0c1, sem0, sem1, *,
+def _stream_kernel(act_ref, f_any, mask_ref, scale_ref, u0_ref,
+                   k_ref, u_ref, e_ref,
+                   lam, fc0, fc1, sem0, sem1, *,
                    nmf_iter, power_cold, power_warm, warm_plain,
-                   gram_mode, resume, W, chunk_w):
+                   gram_mode, resume, divide_scale, W, chunk_w):
     i = pl.program_id(0)
     bg, p = k_ref.shape
     nc = W // chunk_w
     g0 = i * bg
     dtype = k_ref.dtype
-    slots = (a0c0, a0c1)
+    slots = (fc0, fc1)
     sems = (sem0, sem1)
 
-    def a0_dma(c, slot, sem):
+    def f_dma(c, slot, sem):
         return pltpu.make_async_copy(
-            a0_any.at[pl.ds(g0, bg), :, c * chunk_w:(c + 1) * chunk_w],
+            f_any.at[pl.ds(g0, bg), :, c * chunk_w:(c + 1) * chunk_w],
             slot, sem)
 
+    def make_a0(c, raw):
+        """Masked, scale-adjusted chunk — cast / divide / mask in the same
+        order as the XLA path (engine._bucket_step + nmf_masked), so raw
+        int16 streaming is bit-identical to reading the premasked f32
+        form."""
+        x = raw.astype(dtype)
+        if divide_scale:
+            x = x / scale_ref[0][None, :, None]
+        return x * mask_ref[:, c * chunk_w:(c + 1) * chunk_w][:, None, :]
+
     def sweep(fn, init):
-        """Double-buffered pass over A0 chunks: carry = fn(c, a0_c, carry)."""
-        a0_dma(0, slots[0], sems[0]).start()
+        """Double-buffered pass over F chunks: carry = fn(c, a0_c, carry)."""
+        f_dma(0, slots[0], sems[0]).start()
         carry = init
         for c in range(nc):
             if c + 1 < nc:
-                a0_dma(c + 1, slots[(c + 1) % 2], sems[(c + 1) % 2]).start()
-            a0_dma(c, slots[c % 2], sems[c % 2]).wait()
-            carry = fn(c, slots[c % 2][:], carry)
+                f_dma(c + 1, slots[(c + 1) % 2], sems[(c + 1) % 2]).start()
+            f_dma(c, slots[c % 2], sems[c % 2]).wait()
+            carry = fn(c, make_a0(c, slots[c % 2][:]), carry)
         return carry
 
     @pl.when(jnp.max(act_ref[:]) == 0.0)
@@ -193,23 +204,38 @@ def nmf_masked_streamed(
     gram_mode: str = "auto",
     power_warm_plain: int = 0,
     u0: Optional[jnp.ndarray] = None,
+    scale: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for core.nmf.nmf_masked (method="power") for
     blocks too wide for the VMEM-resident kernel.  Same contract as
-    nmf_masked_pallas including zeroed outputs for skipped blocks."""
+    nmf_masked_pallas including zeroed outputs for skipped blocks.
+
+    The column mask is applied inside the kernel (per streamed chunk), so
+    the premasked f32 A0 never materializes in HBM.  With ``scale`` (p,),
+    ``F`` may be the engine's RAW device-resident coverage — typically
+    int16 at HALF the streaming bytes — and each chunk computes
+    ``F.astype(f32) / scale * mask``, the exact op order of the XLA path
+    (engine._bucket_step's adjust + nmf_masked's mask), so results are
+    bit-identical to passing the pre-adjusted f32 form."""
     G, p, W = F.shape
-    A0 = F * mask.astype(F.dtype)[:, None, :]
+    cdt = jnp.float32
     bg = _STREAM_BG
     G_pad = ((G + bg - 1) // bg) * bg
     if G_pad != G:
-        A0 = jnp.pad(A0, ((0, G_pad - G), (0, 0), (0, 0)))
+        F = jnp.pad(F, ((0, G_pad - G), (0, 0), (0, 0)))
+    mask_f = mask.astype(cdt)
+    if G_pad != G:
+        mask_f = jnp.pad(mask_f, ((0, G_pad - G), (0, 0)))
     if gene_active is None:
-        act = jnp.ones((G_pad, 1), F.dtype)
+        act = jnp.ones((G_pad, 1), cdt)
     else:
-        act = jnp.pad(gene_active.astype(F.dtype), (0, G_pad - G))[:, None]
+        act = jnp.pad(gene_active.astype(cdt), (0, G_pad - G))[:, None]
     resume = u0 is not None
-    u0_arr = (jnp.pad(u0.astype(F.dtype), ((0, G_pad - G), (0, 0)))
-              if resume else jnp.zeros((G_pad, p), F.dtype))
+    u0_arr = (jnp.pad(u0.astype(cdt), ((0, G_pad - G), (0, 0)))
+              if resume else jnp.zeros((G_pad, p), cdt))
+    divide_scale = scale is not None
+    scale_arr = (scale.astype(cdt)[None, :] if divide_scale
+                 else jnp.ones((1, p), cdt))
     if gram_mode in ("auto", "packed_slice", "mxu_bf16"):
         gram_mode = "vpu" if interpret else "packed"
     elif gram_mode == "mxu":
@@ -219,9 +245,9 @@ def nmf_masked_streamed(
     kernel = functools.partial(
         _stream_kernel, nmf_iter=nmf_iter, power_cold=power_iters_cold,
         power_warm=power_iters_warm, warm_plain=power_warm_plain,
-        gram_mode=gram_mode, resume=resume, W=W, chunk_w=chunk_w)
+        gram_mode=gram_mode, resume=resume, divide_scale=divide_scale,
+        W=W, chunk_w=chunk_w)
 
-    cdt = F.dtype
     K, u, E = pl.pallas_call(
         kernel,
         grid=(G_pad // bg,),
@@ -229,6 +255,10 @@ def nmf_masked_streamed(
             pl.BlockSpec((bg, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((bg, W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((bg, p), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -247,11 +277,11 @@ def nmf_masked_streamed(
         ),
         scratch_shapes=[
             pltpu.VMEM((bg, p, W), cdt),
-            pltpu.VMEM((bg, p, chunk_w), cdt),
-            pltpu.VMEM((bg, p, chunk_w), cdt),
+            pltpu.VMEM((bg, p, chunk_w), F.dtype),
+            pltpu.VMEM((bg, p, chunk_w), F.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(act, A0, u0_arr)
+    )(act, F, mask_f, scale_arr, u0_arr)
     return K[:G], E[:G], u[:G]

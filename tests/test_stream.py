@@ -100,6 +100,70 @@ def test_streamed_u0_resume_matches_xla_resume():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_streamed_raw_int16_bit_identical():
+    """Raw int16 F + scale (the engine's device-resident form) must be
+    BIT-IDENTICAL to streaming the pre-adjusted f32 form: the kernel
+    applies cast / divide / mask in the XLA path's exact op order."""
+    rng = np.random.default_rng(65)
+    F, mask = wide_bucket(rng, 10, 4, 2 * _CHUNK_W)
+    F_i16 = np.asarray(F).astype(np.int16)
+    scale = (0.5 + rng.random(4)).astype(np.float32)
+    F_adj = (jnp.asarray(F_i16).astype(jnp.float32)
+             / jnp.asarray(scale)[None, :, None])
+    kw = dict(nmf_iter=6, power_iters_cold=40, power_iters_warm=8)
+    K1, E1, u1 = nmf_masked_streamed(F_adj, mask, interpret=True, **kw)
+    K2, E2, u2 = nmf_masked_streamed(jnp.asarray(F_i16), mask,
+                                     scale=jnp.asarray(scale),
+                                     interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(K1), np.asarray(K2))
+    np.testing.assert_array_equal(np.asarray(E1), np.asarray(E2))
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+
+
+def test_nmf_masked_raw_routing():
+    """core.nmf.nmf_masked with F_raw/scale must reproduce the premasked
+    f32 streamed result exactly."""
+    rng = np.random.default_rng(66)
+    F, mask = wide_bucket(rng, 8, 32, 2 * _CHUNK_W)
+    F_i16 = np.asarray(F).astype(np.int16)
+    scale = (0.5 + rng.random(32)).astype(np.float32)
+    F_adj = (jnp.asarray(F_i16).astype(jnp.float32)
+             / jnp.asarray(scale)[None, :, None])
+    kw = dict(nmf_iter=3, power_iters_cold=16, power_iters_warm=4,
+              use_pallas=True, pallas_interpret=True)
+    K1, E1, _ = nmf_masked(F_adj, mask, **kw)
+    K2, E2, _ = nmf_masked(F_adj, mask, F_raw=jnp.asarray(F_i16),
+                           scale=jnp.asarray(scale), **kw)
+    np.testing.assert_array_equal(np.asarray(K1), np.asarray(K2))
+    np.testing.assert_array_equal(np.asarray(E1), np.asarray(E2))
+
+
+def test_engine_raw_int16_streamed_path():
+    """Whole-engine check of the raw route: int16 packing
+    (integral_int16able) -> _bucket_step hands F_raw+scale down -> the
+    trim loop's streamed NMF reads int16 directly. Must match the XLA
+    engine within the production f32 tolerance."""
+    from collections import OrderedDict
+    from degnorm_tpu.config import EngineConfig, NMFConfig
+    from degnorm_tpu.engine import DegNormEngine
+    rng = np.random.default_rng(70)
+    cov = OrderedDict(
+        (f"g{i}", np.round(random_coverage(
+            rng, 32, int(rng.integers(1100, 2049)), degraded=(i % 2 == 0))
+        ).astype(np.float32))
+        for i in range(12))
+    X = np.round(np.abs(rng.standard_normal((12, 32))) * 150 + 30)
+    cfg = NMFConfig(nmf_iter=4, degnorm_iter=2)
+    r1 = DegNormEngine(cfg, EngineConfig(
+        use_pallas=False, bucket_widths=(2048,))).run(cov, X.copy())
+    eng = DegNormEngine(cfg, EngineConfig(
+        use_pallas=True, pallas_interpret=True, bucket_widths=(2048,)))
+    r2 = eng.run(cov, X.copy())
+    assert eng._device_F[0].dtype == jnp.int16   # raw path actually taken
+    np.testing.assert_allclose(r1.rho, r2.rho, rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(r1.x_adj, r2.x_adj, rtol=5e-3, atol=5e-3)
+
+
 def test_nmf_masked_routes_wide_blocks_to_stream(monkeypatch):
     """core.nmf.nmf_masked must route resident-gate rejects to the
     streamed kernel (not the XLA fallback) when stream=True."""

@@ -59,3 +59,41 @@ relK = np.abs(Ks - Kx) / (np.abs(Kx) + 1e-6)
 relE = np.abs(Es - Ex) / (np.abs(Ex) + 1e-3)
 print(f"stream vs xla: K maxrel {relK.max():.2e}  E maxrel {relE.max():.2e}",
       flush=True)
+
+# raw int16 + in-kernel scale divide (half the streamed HBM bytes)
+F_i16 = jnp.asarray(np.asarray(F).astype(np.int16))
+scale = jnp.asarray((0.5 + np.random.default_rng(1).random(P))
+                    .astype(np.float32))
+F_adj = F_i16.astype(jnp.float32) / scale[None, :, None]
+
+
+def run_raw(name, raw):
+    # dependency chain: scale *= (1 + K[0,0]*1e-40) — bitwise identity in
+    # f32 (far below epsilon) but serializes the relayed dispatches.
+    @jax.jit
+    def step(s):
+        kw = dict(F_raw=F_i16, scale=s) if raw else {}
+        f = F_adj if raw else F_i16.astype(jnp.float32) / s[None, :, None]
+        K, E, u = nmf_masked(f, mask, nmf_iter=NMF_ITER,
+                             power_iters_cold=POWER_COLD,
+                             power_iters_warm=POWER_WARM,
+                             power_warm_plain=WARM_PLAIN,
+                             gram_mode="auto", use_pallas=True, **kw)
+        return K, E, s * (1.0 + K[0, 0] * 1e-40)
+    K, E, s = step(scale)
+    np.asarray(K)
+    t0 = time.perf_counter()
+    s = scale
+    for _ in range(REPS):
+        K, E, s = step(s)
+    np.asarray(K)
+    dt = (time.perf_counter() - t0) / REPS
+    print(f"{name:>8s}: {dt*1e3:7.1f} ms/call  ({G/dt:.0f} genes/s)",
+          flush=True)
+    return np.asarray(K), np.asarray(E)
+
+
+Kf, Ef = run_raw("f32adj", raw=False)
+Kr, Er = run_raw("rawi16", raw=True)
+print(f"raw vs f32adj bit-identical: K {np.array_equal(Kr, Kf)} "
+      f"E {np.array_equal(Er, Ef)}", flush=True)
