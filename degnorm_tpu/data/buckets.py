@@ -21,14 +21,12 @@ def integral_int16able(cov_mats: Sequence[np.ndarray],
                        threads: int = 4) -> bool:
     """True when every matrix is exactly representable as int16 (integral,
     in [0, 32766]) — one threaded read pass over the ragged inputs; buys
-    packing the padded buckets at half the float32 bytes."""
-    def check(F):
-        if F.dtype.kind in "iu":
-            return F.min(initial=0) >= 0 and F.max(initial=0) < 32767
-        return (F.min(initial=0.0) >= 0.0 and F.max(initial=0.0) < 32767
-                and bool(np.all(F == np.floor(F))))
+    packing the padded buckets at half the float32 bytes.  The per-array
+    rule is data/encode.py::int16able (single source, shared with the
+    engine's direct-upload fallback and the delta encoder)."""
+    from degnorm_tpu.data.encode import int16able
     with ThreadPoolExecutor(threads) as ex:
-        return all(ex.map(check, cov_mats, chunksize=256))
+        return all(ex.map(int16able, cov_mats, chunksize=256))
 
 
 def _round_up(x: int, m: int) -> int:

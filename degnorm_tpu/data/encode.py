@@ -26,6 +26,19 @@ from typing import NamedTuple, Optional
 import numpy as np
 
 
+def int16able(F: np.ndarray) -> bool:
+    """True when one array is exactly representable as int16 coverage:
+    integral values in [0, 32766].  The single source of the eligibility
+    rule shared by the int16 bucket packer (data/buckets.py), the engine's
+    direct-upload fallback, and the delta encoder's validation."""
+    if F.dtype.kind == "b":
+        return True
+    if F.dtype.kind in "iu":
+        return F.min(initial=0) >= 0 and F.max(initial=0) < 32767
+    return (F.min(initial=0.0) >= 0.0 and F.max(initial=0.0) < 32767
+            and bool(np.all(F == np.floor(F))))
+
+
 class DeltaEncoded(NamedTuple):
     first: np.ndarray      # (G, p)   int16 — column 0
     deltas: np.ndarray     # (G, p, W-1) int8 — clipped position deltas
@@ -58,23 +71,40 @@ def delta_encode(F: np.ndarray,
     row_stride = p * (W - 1)
     starts = list(range(0, g_enc, slab))
     parts: list = [None] * len(starts)
+    exc_cap = 0.02 * max(g_enc, 1) * row_stride
+    import threading
+    exc_state = {"n": 0, "over": False}
+    exc_lock = threading.Lock()
 
     def encode_slab(si):
+        if exc_state["over"]:
+            return False
         g0 = starts[si]
         Fs = F[g0:g0 + slab]
         if Fs.dtype.kind == "f":
-            if Fs.max(initial=0.0) >= 32767 or not np.all(Fs == np.floor(Fs)):
+            if not int16able(Fs):
                 return False
             Fi = Fs.astype(np.int32)
-        else:
-            if Fs.max(initial=0) >= 32767:
+        elif Fs.dtype in (np.int16, np.int32, np.int64):
+            if Fs.max(initial=0) >= 32767 or Fs.min(initial=0) < 0:
                 return False
-            Fi = Fs     # int16 packing already bounds the values
-        if Fi.min(initial=0) < 0:
-            return False
-        d = np.diff(Fi, axis=2)      # int16 diffs cannot overflow int16
+            Fi = Fs     # int16 diffs cannot overflow int16
+        else:           # unsigned/bool/etc: widen before signed delta math
+            if not int16able(Fs):
+                return False
+            Fi = Fs.astype(np.int32)
+        d = np.diff(Fi, axis=2)
         clipped = np.clip(d, -128, 127)
         exc = d != clipped
+        # incremental eligibility: stop materializing COO transients once
+        # the cumulative exception rate is already past the 2% cap (keeps
+        # the docstring's bounded-transient promise for ineligible input)
+        n_here = int(exc.sum())
+        with exc_lock:
+            exc_state["n"] += n_here
+            if exc_state["n"] > exc_cap:
+                exc_state["over"] = True
+                return False
         idx = np.flatnonzero(exc)
         parts[si] = (
             (idx + g0 * row_stride).astype(np.int64),
@@ -88,9 +118,6 @@ def delta_encode(F: np.ndarray,
     with ThreadPoolExecutor(min(4, max(1, len(starts)))) as ex:
         if not all(ex.map(encode_slab, range(len(starts)))):
             return None
-    n_exc = sum(len(ip) for ip, _ in parts)
-    if n_exc > 0.02 * max(g_enc, 1) * row_stride:
-        return None
     return DeltaEncoded(
         first=first,
         deltas=deltas,

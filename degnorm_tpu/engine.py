@@ -204,10 +204,10 @@ class DegNormEngine:
             # integral coverage bounded by int16 uploads at half the bytes
             # (host->device links are often the cold-start bottleneck);
             # kernels cast back to the compute dtype on device.
+            from degnorm_tpu.data.encode import int16able
             if F.dtype == np.int16:
                 return F
-            if (dtype == jnp.float32 and F.max() < 32767
-                    and np.all(F == np.floor(F))):
+            if dtype == jnp.float32 and int16able(F):
                 return F.astype(np.int16)
             return F
 

@@ -59,9 +59,11 @@ _CHUNK_W = 1024
 _STREAM_BG = 8
 
 
-def _pick_chunk_w(p: int, W: int) -> int:
+def _pick_chunk_w(p: int, W: int, itemsize: int = 4) -> int:
     """Largest chunk width (multiple of _CHUNK_W dividing W) whose resident
-    multipliers + two DMA slots + chunk temporaries stay inside budget."""
+    multipliers + two DMA slots + chunk temporaries stay inside budget.
+    ``itemsize`` is the streamed dtype's (int16 raw streaming affords
+    larger chunks than f32 — the DMA slots are the dtype-sized part)."""
     # >= 2 chunks keeps the DMA/compute overlap (a single whole-row chunk
     # serializes every sweep behind its own load — measured slower even
     # though it minimizes issue count); whole-row is the fallback for
@@ -72,8 +74,8 @@ def _pick_chunk_w(p: int, W: int) -> int:
         cands = [W]      # narrow-W, large-p shapes: single whole-row chunk
     best = 0
     for cw in cands:
-        # lam block + 2 slots + ~3 chunk-sized elementwise temporaries
-        vmem = _STREAM_BG * p * 4 * (W + 5 * cw)
+        # f32 lam block + 2 dtype-sized DMA slots + ~3 f32 chunk temporaries
+        vmem = _STREAM_BG * p * (4 * W + 2 * itemsize * cw + 3 * 4 * cw)
         if vmem <= _VMEM_BUDGET:
             best = cw
     return best
@@ -241,7 +243,11 @@ def nmf_masked_streamed(
     elif gram_mode == "mxu":
         gram_mode = "packed"
 
-    chunk_w = _pick_chunk_w(p, W)
+    chunk_w = _pick_chunk_w(p, W, itemsize=jnp.dtype(F.dtype).itemsize)
+    if chunk_w == 0:
+        raise ValueError(
+            f"shape (G={G}, p={p}, W={W}) has no VMEM-feasible chunking; "
+            "gate calls with streamed_supported() first")
     kernel = functools.partial(
         _stream_kernel, nmf_iter=nmf_iter, power_cold=power_iters_cold,
         power_warm=power_iters_warm, warm_plain=power_warm_plain,

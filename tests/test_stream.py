@@ -103,7 +103,13 @@ def test_streamed_u0_resume_matches_xla_resume():
 def test_streamed_raw_int16_bit_identical():
     """Raw int16 F + scale (the engine's device-resident form) must be
     BIT-IDENTICAL to streaming the pre-adjusted f32 form: the kernel
-    applies cast / divide / mask in the XLA path's exact op order."""
+    applies cast / divide / mask in the XLA path's exact op order.
+
+    Holds whenever both forms pick the same chunk width (here W=2048:
+    both stream 1024-chunks).  When the int16 form's smaller DMA slots
+    afford a LARGER chunk (_pick_chunk_w itemsize, e.g. p=32 W=4096), the
+    Gram partial sums accumulate in a different order — plain f32
+    reduction-order drift (~1e-7), far inside the bf16-Gram class."""
     rng = np.random.default_rng(65)
     F, mask = wide_bucket(rng, 10, 4, 2 * _CHUNK_W)
     F_i16 = np.asarray(F).astype(np.int16)

@@ -95,5 +95,8 @@ def run_raw(name, raw):
 
 Kf, Ef = run_raw("f32adj", raw=False)
 Kr, Er = run_raw("rawi16", raw=True)
+relK = np.abs(Kr - Kf) / (np.abs(Kf) + 1e-6)
+relE = np.abs(Er - Ef) / (np.abs(Ef) + 1e-3)
 print(f"raw vs f32adj bit-identical: K {np.array_equal(Kr, Kf)} "
-      f"E {np.array_equal(Er, Ef)}", flush=True)
+      f"E {np.array_equal(Er, Ef)} (equal only at equal chunk widths; "
+      f"K maxrel {relK.max():.2e}  E maxrel {relE.max():.2e})", flush=True)
