@@ -32,11 +32,35 @@ from degnorm_tpu.core.nmf import ratio_svd_rowsums
 from degnorm_tpu.data.buckets import GeneBucket, pack_buckets, scatter_rows
 
 
+def _gene_spec(mesh_axis, x):
+    from jax.sharding import PartitionSpec as P
+    return P(mesh_axis, *([None] * (x.ndim - 1)))
+
+
+def _shard_map_genes(fn, mesh, mesh_axis, gene_args, repl_args):
+    """Run a fully gene-parallel function under shard_map: every gene_arg
+    shards its leading axis, repl_args replicate, every output leaf is
+    gene-leading.  This hands the Pallas kernels LOCAL per-device shapes —
+    GSPMD cannot partition an opaque custom call, so without this a
+    sharded bucket would force the kernels off (replication or a Mosaic
+    compile failure caught by the engine's XLA retry)."""
+    from jax.sharding import PartitionSpec as P
+    out_shapes = jax.eval_shape(fn, *gene_args, *repl_args)
+    in_specs = tuple(_gene_spec(mesh_axis, a) for a in gene_args) + tuple(
+        P() for _ in repl_args)
+    out_specs = jax.tree.map(lambda s: _gene_spec(mesh_axis, s), out_shapes)
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)(
+        *gene_args, *repl_args)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("nmf_cfg", "eng_cfg", "with_estimates"))
+                   static_argnames=("nmf_cfg", "eng_cfg", "with_estimates",
+                                    "mesh", "mesh_axis"))
 def _bucket_step(F, len_mask, scale_factors, ds_start, nmf_cfg: NMFConfig,
                  eng_cfg: EngineConfig,
-                 with_estimates: bool = True) -> BucketResult:
+                 with_estimates: bool = True,
+                 mesh=None, mesh_axis: str = "genes") -> BucketResult:
     """One DegNorm iteration's device work for one bucket: scale-adjust the
     coverage (nmf.py:142-146,563) then run batched baseline selection.
     ``with_estimates=False`` skips the (G, W) estimate factor output —
@@ -46,16 +70,26 @@ def _bucket_step(F, len_mask, scale_factors, ds_start, nmf_cfg: NMFConfig,
     bytes); it is cast to the compute dtype on device.  The int16 original
     is also handed down as ``F_raw`` so the streamed NMF kernel can read
     it directly at half the HBM bytes (ops/pallas_stream.py — in-chunk
-    cast/divide/mask, bit-identical)."""
-    F_raw = F if F.dtype == jnp.int16 else None
-    F = F.astype(scale_factors.dtype)
-    F_adj = F / scale_factors[None, :, None]
-    return baseline_select_bucket(F_adj, len_mask, nmf_cfg, eng_cfg,
-                                  ds_start=ds_start,
-                                  with_estimates=with_estimates,
-                                  F_raw=F_raw,
-                                  scale=(scale_factors if F_raw is not None
-                                         else None))
+    cast/divide/mask, bit-identical).
+
+    With ``mesh`` (gene-sharded bucket), the whole computation — which is
+    per-gene end to end — runs under shard_map so the Pallas kernels see
+    local shard shapes."""
+    def step(F, len_mask, ds_start, scale_factors):
+        F_raw = F if F.dtype == jnp.int16 else None
+        Ff = F.astype(scale_factors.dtype)
+        F_adj = Ff / scale_factors[None, :, None]
+        return baseline_select_bucket(
+            F_adj, len_mask, nmf_cfg, eng_cfg,
+            ds_start=ds_start,
+            with_estimates=with_estimates,
+            F_raw=F_raw,
+            scale=(scale_factors if F_raw is not None else None))
+
+    if mesh is not None and mesh.devices.size > 1:
+        return _shard_map_genes(step, mesh, mesh_axis,
+                                (F, len_mask, ds_start), (scale_factors,))
+    return step(F, len_mask, ds_start, scale_factors)
 
 
 
@@ -107,20 +141,27 @@ def _device_init_state(cov_parts, est_parts, idx_parts, x, n):
     return x / norm, norm
 
 
-@functools.partial(jax.jit, static_argnames=("eng_cfg",))
-def _bucket_init(F, len_mask, eng_cfg: EngineConfig):
+@functools.partial(jax.jit, static_argnames=("eng_cfg", "mesh", "mesh_axis"))
+def _bucket_init(F, len_mask, eng_cfg: EngineConfig,
+                 mesh=None, mesh_axis: str = "genes"):
     """Initialization: ratio-SVD row sums on the raw coverage
-    (nmf.py:522-526)."""
-    if F.dtype == jnp.int16:
-        F = F.astype(jnp.dtype(eng_cfg.dtype))
-    use_pallas = eng_cfg.use_pallas and (
-        eng_cfg.pallas_interpret or jax.default_backend() != "cpu")
-    return ratio_svd_rowsums(F, len_mask,
-                             power_iters=eng_cfg.power_iters_cold,
-                             method=eng_cfg.rank1_method,
-                             use_pallas=use_pallas,
-                             pallas_interpret=eng_cfg.pallas_interpret,
-                             gram_mode=eng_cfg.gram_mode)
+    (nmf.py:522-526).  Per-gene end to end, so it shard_maps like
+    _bucket_step when the bucket is mesh-sharded."""
+    def init(F, len_mask):
+        if F.dtype == jnp.int16:
+            F = F.astype(jnp.dtype(eng_cfg.dtype))
+        use_pallas = eng_cfg.use_pallas and (
+            eng_cfg.pallas_interpret or jax.default_backend() != "cpu")
+        return ratio_svd_rowsums(F, len_mask,
+                                 power_iters=eng_cfg.power_iters_cold,
+                                 method=eng_cfg.rank1_method,
+                                 use_pallas=use_pallas,
+                                 pallas_interpret=eng_cfg.pallas_interpret,
+                                 gram_mode=eng_cfg.gram_mode)
+
+    if mesh is not None and mesh.devices.size > 1:
+        return _shard_map_genes(init, mesh, mesh_axis, (F, len_mask), ())
+    return init(F, len_mask)
 
 
 class DegNormResult:
@@ -215,6 +256,7 @@ class DegNormEngine:
             from degnorm_tpu.parallel.sharded import shard_bucket
             from degnorm_tpu.parallel.seqpar import shard_columns
             placed = []
+            self._bucket_gene_sharded = []
             for b in self._buckets:
                 if b.width >= self.eng_cfg.seqpar_width:
                     # sequence-parallel: outlier-length genes shard the
@@ -224,9 +266,11 @@ class DegNormEngine:
                                       self.mesh, self.eng_cfg.mesh_axis),
                         shard_columns(jnp.asarray(b.len_mask()),
                                       self.mesh, self.eng_cfg.mesh_axis)))
+                    self._bucket_gene_sharded.append(False)
                 else:
                     placed.append(shard_bucket(upload_form(b.F),
                                                b.len_mask(), self.mesh))
+                    self._bucket_gene_sharded.append(True)
             self._device_F = [f for f, _ in placed]
             self._device_mask = [m for _, m in placed]
         else:
@@ -251,7 +295,16 @@ class DegNormEngine:
                 self._device_F.append(jnp.asarray(upload_form(b.F)))
             self._device_mask = [jnp.asarray(b.len_mask())
                                  for b in self._buckets]
+            self._bucket_gene_sharded = [False] * len(self._buckets)
             self.timings["encode_upload"] = _time.perf_counter() - t0
+
+    def _bucket_mesh(self, i: int):
+        """Mesh for bucket i's kernels: only gene-sharded buckets shard_map
+        (column-sharded seqpar buckets keep the GSPMD lowering)."""
+        if self.mesh is None or not getattr(self, "_bucket_gene_sharded",
+                                            None):
+            return None
+        return self.mesh if self._bucket_gene_sharded[i] else None
 
     def _ds_starts(self, bucket: GeneBucket, iteration: int) -> jnp.ndarray:
         """Deterministic per-gene systematic-sampling offsets.
@@ -351,9 +404,11 @@ class DegNormEngine:
             t0 = _time.perf_counter()
             cov_sums = np.zeros((n, p))
             est_sums = np.zeros((n, p))
-            init_out = [_bucket_init(F_d, m_d, self.eng_cfg)
-                        for F_d, m_d in zip(self._device_F,
-                                            self._device_mask)]
+            init_out = [_bucket_init(F_d, m_d, self.eng_cfg,
+                                     mesh=self._bucket_mesh(i),
+                                     mesh_axis=self.eng_cfg.mesh_axis)
+                        for i, (F_d, m_d) in enumerate(
+                            zip(self._device_F, self._device_mask))]
             for b, (cs, es) in zip(self._buckets, init_out):
                 scatter_rows(cov_sums, np.asarray(cs, np.float64),
                              b.gene_indices)
@@ -383,9 +438,12 @@ class DegNormEngine:
                 results: List[BucketResult] = [
                     _bucket_step(F_d, m_d, sf, self._ds_starts(b, it),
                                  self.nmf_cfg.kernel_key(), self.eng_cfg,
-                                 with_estimates=final)
-                    for b, F_d, m_d in zip(self._buckets, self._device_F,
-                                           self._device_mask)]
+                                 with_estimates=final,
+                                 mesh=self._bucket_mesh(i),
+                                 mesh_axis=self.eng_cfg.mesh_axis)
+                    for i, (b, F_d, m_d) in enumerate(
+                        zip(self._buckets, self._device_F,
+                            self._device_mask))]
                 for b, res in zip(self._buckets, results):
                     scatter_rows(rho_raw, np.asarray(res.rho, np.float64),
                                  b.gene_indices)
@@ -442,8 +500,11 @@ class DegNormEngine:
         x_d = jnp.asarray(x, dtype)
 
         t0 = _time.perf_counter()
-        init_out = [_bucket_init(F_d, m_d, self.eng_cfg)
-                    for F_d, m_d in zip(self._device_F, self._device_mask)]
+        init_out = [_bucket_init(F_d, m_d, self.eng_cfg,
+                                 mesh=self._bucket_mesh(i),
+                                 mesh_axis=self.eng_cfg.mesh_axis)
+                    for i, (F_d, m_d) in enumerate(
+                        zip(self._device_F, self._device_mask))]
         x_weighted, norm = _device_init_state(
             tuple(cs.astype(dtype) for cs, _ in init_out),
             tuple(es.astype(dtype) for _, es in init_out),
@@ -461,9 +522,11 @@ class DegNormEngine:
                 _bucket_step(F_d, m_d, scale.astype(dtype),
                              self._ds_starts(b, it),
                              self.nmf_cfg.kernel_key(), self.eng_cfg,
-                             with_estimates=final)
-                for b, F_d, m_d in zip(self._buckets, self._device_F,
-                                       self._device_mask)]
+                             with_estimates=final,
+                             mesh=self._bucket_mesh(i),
+                             mesh_axis=self.eng_cfg.mesh_axis)
+                for i, (b, F_d, m_d) in enumerate(
+                    zip(self._buckets, self._device_F, self._device_mask))]
             rho, x_adj, x_weighted, norm, scale = _device_iteration_update(
                 tuple(r.rho for r in results), idx_parts, x_weighted,
                 scale, n)

@@ -57,7 +57,8 @@ def shard_bucket(F: np.ndarray, len_mask: np.ndarray, mesh: Mesh,
     return put(F, 3), put(len_mask, 2)
 
 
-@functools.partial(jax.jit, static_argnames=("nmf_cfg", "eng_cfg"))
+@functools.partial(jax.jit, static_argnames=("nmf_cfg", "eng_cfg", "mesh",
+                                              "axis"))
 def sharded_iteration_step(
     F: jnp.ndarray,           # (G, p, W)  gene-sharded
     len_mask: jnp.ndarray,    # (G, W)     gene-sharded
@@ -66,6 +67,8 @@ def sharded_iteration_step(
     ds_start: jnp.ndarray,    # (G,)       gene-sharded
     nmf_cfg: NMFConfig,
     eng_cfg: EngineConfig,
+    mesh: Optional[Mesh] = None,
+    axis: str = "genes",
 ):
     """One complete DegNorm iteration for a single gene-sharded bucket —
     device bucket work AND the global factor update fused under one jit.
@@ -74,12 +77,25 @@ def sharded_iteration_step(
     local to each device's shard; the only cross-device traffic is the
     psum hidden inside the axis-0 column sums (three (p,)-vectors).
 
+    Pass ``mesh`` to run the per-gene kernel portion under shard_map —
+    required for the Pallas kernels on a multi-device mesh (GSPMD cannot
+    partition an opaque custom call; shard_map hands it local shapes).
+    Without it the kernel lowers through GSPMD (pure-XLA path only).
+
     Replicates reference nmf.py:560-596 / core.degnorm.iteration_update.
     Returns (rho, x_adj, x_weighted', norm_factors, scale_factors', ran_bs).
     """
-    F_adj = F / scale_factors[None, :, None]
-    res = baseline_select_bucket(F_adj, len_mask, nmf_cfg, eng_cfg,
-                                 ds_start=ds_start)
+    def kernel(F, len_mask, ds_start, scale_factors):
+        F_adj = F.astype(scale_factors.dtype) / scale_factors[None, :, None]
+        return baseline_select_bucket(F_adj, len_mask, nmf_cfg, eng_cfg,
+                                      ds_start=ds_start)
+
+    if mesh is not None and mesh.devices.size > 1:
+        from degnorm_tpu.engine import _shard_map_genes
+        res = _shard_map_genes(kernel, mesh, axis,
+                               (F, len_mask, ds_start), (scale_factors,))
+    else:
+        res = kernel(F, len_mask, ds_start, scale_factors)
 
     rho = jnp.clip(res.rho, 0.0, 0.9)                  # nmf.py:398-399
     x_adj = x_weighted / (1 - rho)

@@ -80,3 +80,35 @@ def test_sharded_iteration_step_runs_and_matches_host_update():
     np.testing.assert_allclose(np.asarray(x_adj), st2.x_adj, rtol=1e-12)
     np.testing.assert_allclose(np.asarray(scale_new),
                                scale0 * st2.norm_factors, rtol=1e-12)
+
+
+def test_shard_map_pallas_matches_gspmd_xla():
+    """Kernels on a multi-device mesh run under shard_map with LOCAL shard
+    shapes (GSPMD cannot partition an opaque custom call) — the
+    pallas-interpret shard_map path must match the GSPMD XLA lowering.
+    Wide W forces the streamed kernel (ops/pallas_stream.py) per shard."""
+    from tests.conftest import random_coverage
+    from tests.test_core_parity import make_bucket
+
+    rng = np.random.default_rng(5)
+    mats = [np.round(random_coverage(rng, 4, int(rng.integers(1100, 2049)),
+                                     degraded=(i % 2 == 0))
+                     ).astype(np.float32) for i in range(16)]
+    F, mask = make_bucket(mats, 2048, dtype=np.float32)
+    mesh = make_mesh()
+    F_s, mask_s = shard_bucket(np.asarray(F), np.asarray(mask), mesh)
+    xw = jnp.asarray(np.abs(rng.standard_normal((16, 4))) * 100 + 10,
+                     jnp.float32)
+    sf = jnp.ones(4, jnp.float32)
+    ds = jnp.zeros(16, jnp.int32)
+    cfg = NMFConfig(nmf_iter=4)
+    out_ref = sharded_iteration_step(
+        jnp.asarray(F), jnp.asarray(mask), xw, sf, ds, cfg,
+        EngineConfig(use_pallas=False))
+    out_sm = sharded_iteration_step(
+        F_s, mask_s, xw, sf, ds, cfg,
+        EngineConfig(use_pallas=True, pallas_interpret=True), mesh=mesh)
+    for a, b in zip(out_ref, out_sm):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64),
+                                   rtol=5e-3, atol=5e-4)
