@@ -5,21 +5,28 @@ this dev environment's relay it dominates packing; on production hosts
 PCIe transfer of multi-GB coverage still matters).  Read-pileup coverage
 is integral and piecewise-smooth — adjacent positions differ by the number
 of read starts/ends between them — so the position-axis deltas almost all
-fit int8:
+fit a few bits.  Two lossless forms, picked by ``encode_coverage``:
 
-    upload = first column (int16)  +  deltas (int8)  +  exception COO list
+    int4: first column (int16) + nibble-packed deltas clipped to [-8, 7]
+          (two per byte) + exception COO list — 1/4 of the int16 bytes.
+          Measured 4-bit exception rates are <0.1% on pileup-like data.
+    int8: same with byte deltas — the fallback when the input is not an
+          int16 bucket or the 4-bit exception rate exceeds ~1%.
 
-at ~half the bytes of the int16 form (a quarter of float32).  A single
-jitted device-side pass (scatter-add exceptions into the widened deltas,
-cumulative-sum along positions) reconstructs the exact int16 array once;
-kernels then cast per-step exactly as with direct int16 uploads.
+A single jitted device-side pass (unpack nibbles, scatter-add exceptions
+into the widened deltas, cumulative-sum along positions) reconstructs the
+exact int16 array once; kernels then cast per-step exactly as with direct
+int16 uploads.  The int4 encoder has a single-pass C++ twin
+(io/native/pack_kernel.cpp, byte-identical, ~50x the numpy encoder) — the
+numpy form here stays the semantic source of truth.
 
 Encoding is used only when exactly lossless and actually smaller
-(integral values < 2^15, exception rate < 2%).
+(integral values < 2^15, bounded exception rate).
 """
 from __future__ import annotations
 
 import functools
+import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import NamedTuple, Optional
 
@@ -30,13 +37,37 @@ def int16able(F: np.ndarray) -> bool:
     """True when one array is exactly representable as int16 coverage:
     integral values in [0, 32766].  The single source of the eligibility
     rule shared by the int16 bucket packer (data/buckets.py), the engine's
-    direct-upload fallback, and the delta encoder's validation."""
+    direct-upload fallback, and the delta encoder's validation.
+
+    Float arrays take a single-pass native scan when the C++ library is
+    available (the numpy form makes three full passes of transients; at
+    50k-gene scale that is seconds of pure scan time)."""
     if F.dtype.kind == "b":
         return True
     if F.dtype.kind in "iu":
         return F.min(initial=0) >= 0 and F.max(initial=0) < 32767
+    native = _int16able_native(F)
+    if native is not None:
+        return native
     return (F.min(initial=0.0) >= 0.0 and F.max(initial=0.0) < 32767
             and bool(np.all(F == np.floor(F))))
+
+
+def _int16able_native(F: np.ndarray) -> Optional[bool]:
+    """Native single-pass int16able scan for contiguous float arrays;
+    None when unavailable (caller falls back to numpy)."""
+    if F.dtype not in (np.float32, np.float64) or not F.flags.c_contiguous:
+        return None
+    from degnorm_tpu.io.native.build import load_library
+    lib = load_library()
+    if lib is None or not hasattr(lib, "dn_f32_int16able"):
+        return None
+    import ctypes
+    if F.dtype == np.float32:
+        fn, ptr_t = lib.dn_f32_int16able, ctypes.POINTER(ctypes.c_float)
+    else:
+        fn, ptr_t = lib.dn_f64_int16able, ctypes.POINTER(ctypes.c_double)
+    return bool(fn(F.ctypes.data_as(ptr_t), F.size))
 
 
 class DeltaEncoded(NamedTuple):
@@ -126,6 +157,154 @@ def delta_encode(F: np.ndarray,
         exc_val=(np.concatenate([vp for _, vp in parts]) if parts
                  else np.empty(0, np.int32)),
     )
+
+
+class NibEncoded(NamedTuple):
+    """4-bit delta form: two clipped position deltas per byte (low nibble =
+    even delta index), exceptions as a COO list — half the int8-delta bytes
+    at typical pileup smoothness (4-bit exception rates measured <0.1% on
+    both synthetic and simulated-read coverage)."""
+    first: np.ndarray      # (G, p)  int16 — column 0
+    nib: np.ndarray        # (G, p, ceil((W-1)/2)) uint8 — packed deltas
+    exc_idx: np.ndarray    # (n,) int64 — flat indices into (G, p, W-1)
+    exc_val: np.ndarray    # (n,) int32 — true_delta - clipped_delta
+    Wm1: int               # W-1 (the packed axis drops the odd tail nibble)
+
+
+def _nib_exc_cap(n_deltas: int) -> int:
+    """Exception-buffer size for the nibble encoder: past ~1% exceptions
+    the data is not pileup-smooth and the int8 form is the right encoding
+    anyway (break-even vs int8 is ~4%: each exception costs 12 COO bytes
+    against the 0.5 byte/delta saving)."""
+    return max(1024, n_deltas // 100)
+
+
+def nibble_encode(F: np.ndarray,
+                  n_real: Optional[int] = None) -> Optional[NibEncoded]:
+    """numpy 4-bit delta encoder for int16 (G, p, W) buckets — the semantic
+    reference for the native kernel (pack_kernel.cpp) and the portable
+    fallback.  None when W < 2 or the exception rate exceeds the cap.
+    Slab-wise over genes to bound transients, like delta_encode."""
+    if F.ndim != 3 or F.shape[2] < 2 or F.dtype != np.int16:
+        return None
+    G, p, W = F.shape
+    Wm1 = W - 1
+    nb = (Wm1 + 1) // 2
+    g_enc = G if n_real is None else min(max(n_real, 0), G)
+    first = np.zeros((G, p), np.int16)
+    nib = np.zeros((G, p, nb), np.uint8)
+    row_stride = p * Wm1
+    cap = _nib_exc_cap(g_enc * row_stride)
+    slab = max(1, (64 << 20) // max(p * W * 4, 1))
+    idx_parts, val_parts = [], []
+    n_exc = 0
+    for g0 in range(0, g_enc, slab):
+        Fs = F[g0:g0 + slab]
+        d = np.diff(Fs.astype(np.int32), axis=2)
+        c = np.clip(d, -8, 7)
+        exc = d != c
+        n_exc += int(exc.sum())
+        if n_exc > cap:
+            return None
+        idx = np.flatnonzero(exc)
+        idx_parts.append((idx + g0 * row_stride).astype(np.int64))
+        val_parts.append(d.reshape(-1)[idx] - c.reshape(-1)[idx])
+        if Wm1 & 1:
+            c = np.concatenate(
+                [c, np.zeros(c.shape[:2] + (1,), c.dtype)], axis=2)
+        cu = (c & 0xF).astype(np.uint8)
+        nib[g0:g0 + slab] = cu[:, :, 0::2] | (cu[:, :, 1::2] << 4)
+        first[g0:g0 + slab] = Fs[:, :, 0]
+    return NibEncoded(
+        first=first, nib=nib,
+        exc_idx=(np.concatenate(idx_parts) if idx_parts
+                 else np.empty(0, np.int64)),
+        exc_val=(np.concatenate(val_parts).astype(np.int32) if val_parts
+                 else np.empty(0, np.int32)),
+        Wm1=Wm1)
+
+
+def nibble_encode_native(F: np.ndarray,
+                         n_real: Optional[int] = None,
+                         threads: int = 0) -> Optional[NibEncoded]:
+    """Single-pass C++ twin of nibble_encode (byte-identical output);
+    None when the library is unavailable or the input ineligible."""
+    if F.ndim != 3 or F.shape[2] < 2 or F.dtype != np.int16:
+        return None
+    if not F.flags.c_contiguous:
+        return None
+    from degnorm_tpu.io.native.build import load_library
+    lib = load_library()
+    if lib is None or not hasattr(lib, "dn_nib_encode"):
+        return None
+    import ctypes
+    G, p, W = F.shape
+    Wm1 = W - 1
+    g_enc = G if n_real is None else min(max(n_real, 0), G)
+    cap = _nib_exc_cap(g_enc * p * Wm1)
+    first = np.zeros((G, p), np.int16)
+    nib = np.zeros((G, p, (Wm1 + 1) // 2), np.uint8)
+    exc_idx = np.empty(cap, np.int64)
+    exc_val = np.empty(cap, np.int32)
+    if not threads:
+        threads = min(4, os.cpu_count() or 1)
+    i16 = ctypes.POINTER(ctypes.c_int16)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    n = int(lib.dn_nib_encode(
+        F.ctypes.data_as(i16), g_enc, p, W,
+        first.ctypes.data_as(i16), nib.ctypes.data_as(u8),
+        exc_idx.ctypes.data_as(i64), exc_val.ctypes.data_as(i32),
+        cap, threads))
+    if n < 0:
+        return None
+    return NibEncoded(first=first, nib=nib, exc_idx=exc_idx[:n].copy(),
+                      exc_val=exc_val[:n].copy(), Wm1=Wm1)
+
+
+def encode_coverage(F: np.ndarray, n_real: Optional[int] = None):
+    """Best lossless compressed upload form for one packed bucket:
+    4-bit deltas (native, then numpy) for int16 buckets, int8 deltas
+    otherwise; None when nothing applies (caller uploads directly)."""
+    if F.ndim != 3 or F.shape[2] < 2:
+        return None
+    if F.dtype == np.int16:
+        enc = nibble_encode_native(F, n_real)
+        if enc is None:
+            enc = nibble_encode(F, n_real)
+        if enc is not None:
+            return enc
+    return delta_encode(F, n_real=n_real)
+
+
+def decode_coverage_device(enc):
+    """Reconstruct the exact int16 (G, p, W) device array from either
+    encoded form (dispatch counterpart of encode_coverage)."""
+    import jax.numpy as jnp
+    if isinstance(enc, NibEncoded):
+        return nib_decode_device(
+            jnp.asarray(enc.first), jnp.asarray(enc.nib),
+            jnp.asarray(enc.exc_idx), jnp.asarray(enc.exc_val), enc.Wm1)
+    return delta_decode_device(
+        jnp.asarray(enc.first), jnp.asarray(enc.deltas),
+        jnp.asarray(enc.exc_idx), jnp.asarray(enc.exc_val))
+
+
+@functools.partial(__import__("jax").jit, static_argnames=("Wm1",))
+def nib_decode_device(first, nib, exc_idx, exc_val, Wm1: int):
+    """Unpack + reconstruct the exact int16 (G, p, W) array on device."""
+    import jax.numpy as jnp
+    G, p, nb = nib.shape
+    b = nib.astype(jnp.int32)
+    lo = b & 0xF
+    hi = b >> 4
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    d = jnp.stack([lo, hi], axis=-1).reshape(G, p, 2 * nb)[:, :, :Wm1]
+    d = d.reshape(-1).at[exc_idx].add(exc_val).reshape(G, p, Wm1)
+    full = jnp.concatenate([first.astype(jnp.int32)[:, :, None], d], axis=2)
+    return jnp.cumsum(full, axis=2).astype(jnp.int16)
 
 
 @functools.partial(__import__("jax").jit, static_argnames=())

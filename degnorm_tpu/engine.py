@@ -274,21 +274,19 @@ class DegNormEngine:
             self._device_F = [f for f, _ in placed]
             self._device_mask = [m for _, m in placed]
         else:
-            from degnorm_tpu.data.encode import (delta_decode_device,
-                                                 delta_encode)
+            from degnorm_tpu.data.encode import (decode_coverage_device,
+                                                 encode_coverage)
             t0 = _time.perf_counter()
             self._device_F = []
             for b in self._buckets:
-                enc = (delta_encode(b.F, n_real=b.n_real)
+                # delta upload (int4 for int16 buckets — ~1/8 of float32
+                # bytes; int8 otherwise), exact int16 reconstruction in one
+                # device pass
+                enc = (encode_coverage(b.F, n_real=b.n_real)
                        if dtype == jnp.float32 else None)
                 if enc is not None:
-                    # int8-delta upload (~quarter of float32 bytes), exact
-                    # int16 reconstruction in one device pass
                     try:
-                        self._device_F.append(delta_decode_device(
-                            jnp.asarray(enc.first), jnp.asarray(enc.deltas),
-                            jnp.asarray(enc.exc_idx),
-                            jnp.asarray(enc.exc_val)))
+                        self._device_F.append(decode_coverage_device(enc))
                         continue
                     except Exception:   # pragma: no cover - backend quirk
                         pass

@@ -16,6 +16,7 @@ from typing import Optional
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "bam_reader.cpp")
 _SRC_COV = os.path.join(_DIR, "coverage_kernel.cpp")
+_SRC_PACK = os.path.join(_DIR, "pack_kernel.cpp")
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _FAILED = False
@@ -46,7 +47,7 @@ class DnBamData(ctypes.Structure):
 
 def _so_path() -> str:
     h = hashlib.sha256()
-    for src in (_SRC, _SRC_COV):
+    for src in (_SRC, _SRC_COV, _SRC_PACK):
         with open(src, "rb") as f:
             h.update(f.read())
     return os.path.join(_DIR, f"libdnbam_{h.hexdigest()[:12]}.so")
@@ -64,7 +65,7 @@ def load_library() -> Optional[ctypes.CDLL]:
 
         def build() -> bool:
             cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                   "-std=c++17", "-pthread", _SRC, _SRC_COV,
+                   "-std=c++17", "-pthread", _SRC, _SRC_COV, _SRC_PACK,
                    "-o", so + ".tmp", "-lz"]
             try:
                 subprocess.run(cmd, check=True, capture_output=True,
@@ -119,6 +120,18 @@ def load_library() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, i64, i64,
                 i64, i64, i64, i64,
             ]
+            f32 = ctypes.POINTER(ctypes.c_float)
+            f64 = ctypes.POINTER(ctypes.c_double)
+            i16 = ctypes.POINTER(ctypes.c_int16)
+            u8 = ctypes.POINTER(ctypes.c_uint8)
+            lib.dn_f32_int16able.restype = ctypes.c_int
+            lib.dn_f32_int16able.argtypes = [f32, ctypes.c_int64]
+            lib.dn_f64_int16able.restype = ctypes.c_int
+            lib.dn_f64_int16able.argtypes = [f64, ctypes.c_int64]
+            lib.dn_nib_encode.restype = ctypes.c_int64
+            lib.dn_nib_encode.argtypes = [
+                i16, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                i16, u8, i64, i32, ctypes.c_int64, ctypes.c_int]
             _LIB = lib
         except OSError:
             _FAILED = True

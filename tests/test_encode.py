@@ -62,6 +62,75 @@ def test_rejects_lossy_cases():
     assert delta_encode(jumpy) is None        # >2% exception rate
 
 
+def _random_int16_bucket(rng, G, p, W, n_real=None, jumpy_frac=0.001):
+    """Pileup-like int16 bucket: smooth rows with sparse large jumps."""
+    F = np.zeros((G, p, W), np.int16)
+    for g in range(n_real if n_real is not None else G):
+        base = np.cumsum(rng.integers(-2, 3, size=W))
+        base -= base.min()
+        F[g] = np.clip(base[None, :] + rng.integers(0, 3, (p, W)),
+                       0, 32000).astype(np.int16)
+        jumps = rng.random((p, W)) < jumpy_frac
+        F[g][jumps] = rng.integers(0, 30000, int(jumps.sum()))
+    return F
+
+
+def test_nibble_roundtrip_lossless():
+    from degnorm_tpu.data.encode import nib_decode_device, nibble_encode
+    rng = np.random.default_rng(11)
+    for W in (9, 16, 257):                    # odd + even delta counts
+        F = _random_int16_bucket(rng, 5, 3, W, n_real=4)
+        enc = nibble_encode(F, n_real=4)
+        assert enc is not None
+        dec = np.asarray(nib_decode_device(
+            enc.first, enc.nib, enc.exc_idx, enc.exc_val, enc.Wm1))
+        np.testing.assert_array_equal(dec, F)
+    # nibble form is ~quarter of the int16 bytes
+    nbytes = enc.first.nbytes + enc.nib.nbytes + enc.exc_idx.nbytes \
+        + enc.exc_val.nbytes
+    assert nbytes < 0.30 * F.nbytes
+
+
+def test_nibble_native_matches_numpy():
+    from degnorm_tpu.data.encode import nibble_encode, nibble_encode_native
+    from degnorm_tpu.io.native.build import load_library
+    if load_library() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(12)
+    for G, p, W, n_real in ((7, 4, 33, 5), (64, 2, 128, 64), (3, 8, 9, 0)):
+        F = _random_int16_bucket(rng, G, p, W, n_real=n_real)
+        a = nibble_encode(F, n_real=n_real)
+        b = nibble_encode_native(F, n_real=n_real, threads=3)
+        assert a is not None and b is not None
+        np.testing.assert_array_equal(a.first, b.first)
+        np.testing.assert_array_equal(a.nib, b.nib)
+        np.testing.assert_array_equal(a.exc_idx, b.exc_idx)
+        np.testing.assert_array_equal(a.exc_val, b.exc_val)
+        assert a.Wm1 == b.Wm1
+
+
+def test_encode_coverage_dispatch():
+    from degnorm_tpu.data.encode import (DeltaEncoded, NibEncoded,
+                                         decode_coverage_device,
+                                         encode_coverage)
+    rng = np.random.default_rng(13)
+    F = _random_int16_bucket(rng, 6, 3, 64, n_real=6)
+    enc = encode_coverage(F, n_real=6)
+    assert isinstance(enc, NibEncoded)
+    np.testing.assert_array_equal(np.asarray(decode_coverage_device(enc)), F)
+    # jumpy-but-int8-able data: nibble over its exception cap, int8 fine
+    Fj = np.cumsum(rng.integers(-60, 61, size=(4, 2, 512)), axis=2)
+    Fj = (Fj - Fj.min()).astype(np.int16)
+    encj = encode_coverage(Fj, n_real=4)
+    assert isinstance(encj, DeltaEncoded)
+    np.testing.assert_array_equal(
+        np.asarray(decode_coverage_device(encj)), Fj)
+    # float32 integral input still takes the int8 path
+    enc_f = encode_coverage(F.astype(np.float32), n_real=6)
+    assert isinstance(enc_f, DeltaEncoded)
+
+
 def test_engine_delta_path_matches_direct():
     from collections import OrderedDict
     from degnorm_tpu.config import EngineConfig, NMFConfig
@@ -79,11 +148,11 @@ def test_engine_delta_path_matches_direct():
 
     # force the direct (non-delta) upload path
     import degnorm_tpu.data.encode as enc_mod
-    orig = enc_mod.delta_encode
-    enc_mod.delta_encode = lambda F, n_real=None: None
+    orig = enc_mod.encode_coverage
+    enc_mod.encode_coverage = lambda F, n_real=None: None
     try:
         r2 = DegNormEngine(cfg, EngineConfig()).run(cov, X.copy())
     finally:
-        enc_mod.delta_encode = orig
+        enc_mod.encode_coverage = orig
     np.testing.assert_array_equal(r1.rho, r2.rho)
     np.testing.assert_array_equal(r1.x_adj, r2.x_adj)
