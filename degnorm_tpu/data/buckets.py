@@ -23,8 +23,15 @@ def integral_int16able(cov_mats: Sequence[np.ndarray],
     in [0, 32766]) — one threaded read pass over the ragged inputs; buys
     packing the padded buckets at half the float32 bytes.  The per-array
     rule is data/encode.py::int16able (single source, shared with the
-    engine's direct-upload fallback and the delta encoder)."""
-    from degnorm_tpu.data.encode import int16able
+    engine's direct-upload fallback and the delta encoder).
+
+    Uniform contiguous float inputs (the common case) take one batched
+    native call — per-array ctypes dispatch costs more than the scan
+    itself at 20k+ genes."""
+    from degnorm_tpu.data.encode import int16able, int16able_many_native
+    native = int16able_many_native(cov_mats, threads=threads)
+    if native is not None:
+        return native
     with ThreadPoolExecutor(threads) as ex:
         return all(ex.map(int16able, cov_mats, chunksize=256))
 

@@ -53,6 +53,31 @@ def int16able(F: np.ndarray) -> bool:
             and bool(np.all(F == np.floor(F))))
 
 
+def int16able_many_native(mats, threads: int = 4) -> Optional[bool]:
+    """Batched int16able scan over many arrays in ONE native call; None
+    when any array is not a contiguous uniform-dtype float (caller falls
+    back to the per-array path)."""
+    if not mats:
+        return True
+    dt = mats[0].dtype
+    if dt not in (np.float32, np.float64):
+        return None
+    if any(m.dtype != dt or not m.flags.c_contiguous for m in mats):
+        return None
+    from degnorm_tpu.io.native.build import load_library
+    lib = load_library()
+    if lib is None or not hasattr(lib, "dn_int16able_many"):
+        return None
+    import ctypes
+    n = len(mats)
+    ptrs = (ctypes.c_void_p * n)(*(m.ctypes.data for m in mats))
+    sizes = np.fromiter((m.size for m in mats), np.int64, count=n)
+    code = 0 if dt == np.float32 else 1
+    return bool(lib.dn_int16able_many(
+        ptrs, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, code, threads))
+
+
 def _int16able_native(F: np.ndarray) -> Optional[bool]:
     """Native single-pass int16able scan for contiguous float arrays;
     None when unavailable (caller falls back to numpy)."""

@@ -414,6 +414,7 @@ class DegNormEngine:
                              b.gene_indices)
             rho_init = outer.rho_from_ratio_svd(cov_sums, est_sums)
             state = outer.init_state(rho_init, x)
+            self._presort_by_init_rho(rho_init)
             self.timings["init"] = _time.perf_counter() - t0
 
         # ---- DegNorm iterations (nmf.py:556-596) ----
@@ -550,6 +551,40 @@ class DegNormEngine:
             x_weighted=self._gather(x_weighted).astype(np.float64),
             engine=self)
 
+    def _permute_bucket(self, i: int, perm: np.ndarray) -> None:
+        """Reorder bucket i's genes on device + its host metadata.  Gene
+        order within a bucket is internal (results scatter back through
+        gene_indices; the kernels are per-gene), so permutations are exact
+        — they only change which 64-gene blocks the fused kernel's
+        block-level early exit can skip.  b.F is NOT permuted: after upload
+        it is only read for its shape (copying the multi-hundred-MB host
+        array costs seconds and nothing consumes its contents again)."""
+        b = self._buckets[i]
+        pj = jnp.asarray(perm)
+        self._device_F[i] = jnp.take(self._device_F[i], pj, axis=0)
+        self._device_mask[i] = jnp.take(self._device_mask[i], pj, axis=0)
+        b.lengths = b.lengths[perm]
+        b.gene_indices = b.gene_indices[perm]
+
+    def _presort_by_init_rho(self, rho_init: np.ndarray) -> None:
+        """Before iteration 0, sort each bucket's genes by their ratio-SVD
+        DI proxy: genes whose initial max-DI is small tend to leave the
+        trim loop immediately, so sorting ascending makes the likely-active
+        set a contiguous suffix already in the first iteration (the
+        measured-exit-round reorder can only help from iteration 1 on).
+        Skipped for mesh-sharded buckets (permutations would have to be
+        identical across processes; the post-iteration reorder is skipped
+        there for the same reason)."""
+        if self.mesh is not None:
+            return
+        for i, b in enumerate(self._buckets):
+            safe = np.maximum(b.gene_indices, 0)
+            proxy = np.where(b.gene_indices >= 0,
+                             rho_init[safe].max(axis=1), -1.0)
+            perm = np.argsort(proxy, kind="stable")
+            if not np.array_equal(perm, np.arange(len(perm))):
+                self._permute_bucket(i, perm)
+
     def _reorder_by_exit_round(self, results: List[BucketResult]) -> None:
         """Sort each bucket's genes by how many trim rounds they survived in
         the first iteration.  Exit rounds are strongly correlated across
@@ -562,14 +597,7 @@ class DegNormEngine:
             perm = np.argsort(ra, kind="stable")
             if ra.max() == 0 or np.array_equal(perm, np.arange(len(perm))):
                 continue
-            pj = jnp.asarray(perm)
-            self._device_F[i] = jnp.take(self._device_F[i], pj, axis=0)
-            self._device_mask[i] = jnp.take(self._device_mask[i], pj, axis=0)
-            # b.F is NOT permuted: after upload it is only read for its
-            # shape (copying the multi-hundred-MB host array costs seconds
-            # and nothing consumes its contents again).
-            b.lengths = b.lengths[perm]
-            b.gene_indices = b.gene_indices[perm]
+            self._permute_bucket(i, perm)
 
     # -- estimates -------------------------------------------------------
     def _materialize_estimates(self) -> List[np.ndarray]:

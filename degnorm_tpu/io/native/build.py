@@ -128,6 +128,10 @@ def load_library() -> Optional[ctypes.CDLL]:
             lib.dn_f32_int16able.argtypes = [f32, ctypes.c_int64]
             lib.dn_f64_int16able.restype = ctypes.c_int
             lib.dn_f64_int16able.argtypes = [f64, ctypes.c_int64]
+            lib.dn_int16able_many.restype = ctypes.c_int
+            lib.dn_int16able_many.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p), i64, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int]
             lib.dn_nib_encode.restype = ctypes.c_int64
             lib.dn_nib_encode.argtypes = [
                 i16, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,

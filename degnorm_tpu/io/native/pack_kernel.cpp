@@ -47,6 +47,38 @@ int dn_f64_int16able(const double* x, int64_t n) {
     return 1;
 }
 
+// Batched scan over many ragged arrays in one call (one ctypes call per
+// gene costs more than the scan itself at 20k+ genes).  dtype_code:
+// 0 = float32, 1 = float64.  Early-exits across threads on first failure.
+int dn_int16able_many(const void* const* ptrs, const int64_t* sizes,
+                      int64_t n_arrays, int dtype_code, int n_threads) {
+    std::atomic<bool> bad{false};
+    n_threads = std::max(1, std::min(n_threads, 16));
+    if (n_arrays < n_threads) n_threads = (int)std::max<int64_t>(n_arrays, 1);
+    auto work = [&](int t) {
+        int64_t a0 = n_arrays * t / n_threads;
+        int64_t a1 = n_arrays * (t + 1) / n_threads;
+        for (int64_t a = a0; a < a1; a++) {
+            if (bad.load(std::memory_order_relaxed)) return;
+            int ok = dtype_code == 0
+                ? dn_f32_int16able((const float*)ptrs[a], sizes[a])
+                : dn_f64_int16able((const double*)ptrs[a], sizes[a]);
+            if (!ok) {
+                bad.store(true, std::memory_order_relaxed);
+                return;
+            }
+        }
+    };
+    if (n_threads == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> threads;
+        for (int t = 0; t < n_threads; t++) threads.emplace_back(work, t);
+        for (auto& th : threads) th.join();
+    }
+    return bad.load() ? 0 : 1;
+}
+
 // 4-bit delta encode of an int16 (G, p, W) coverage bucket (leading g_enc
 // genes; trailing padding genes are all-zero and left untouched — caller
 // provides calloc'd outputs).
