@@ -11,6 +11,7 @@ geometric; widths are multiples of 128 to match TPU lane tiling.
 from __future__ import annotations
 
 import dataclasses
+import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Sequence
 
@@ -34,6 +35,34 @@ def integral_int16able(cov_mats: Sequence[np.ndarray],
         return native
     with ThreadPoolExecutor(threads) as ex:
         return all(ex.map(int16able, cov_mats, chunksize=256))
+
+
+def _pack_i16_native(mats, lengths: np.ndarray, F: np.ndarray) -> bool:
+    """Cast-pack ragged float mats into the leading rows of the padded
+    int16 bucket F with one native call (values must already be validated
+    int16able — integral_int16able gates the int16 pack dtype upstream).
+    False when inapplicable (caller uses the threaded numpy loop)."""
+    if F.dtype != np.int16 or not mats:
+        return False
+    dt = mats[0].dtype
+    if dt not in (np.float32, np.float64):
+        return False
+    if any(m.dtype != dt or not m.flags.c_contiguous for m in mats):
+        return False
+    from degnorm_tpu.io.native.build import load_library
+    lib = load_library()
+    if lib is None or not hasattr(lib, "dn_pack_i16"):
+        return False
+    import ctypes
+    n = len(mats)
+    ptrs = (ctypes.c_void_p * n)(*(m.ctypes.data for m in mats))
+    lens = np.ascontiguousarray(lengths[:n], np.int64)
+    lib.dn_pack_i16(
+        ptrs, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, F.shape[1], F.shape[2], 0 if dt == np.float32 else 1,
+        F.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        min(4, os.cpu_count() or 1))
+    return True
 
 
 def _round_up(x: int, m: int) -> int:
@@ -132,26 +161,30 @@ def pack_buckets(
             F = np.zeros((g_pad, p, w), dtype=dtype)
             lengths = np.zeros(g_pad, dtype=np.int32)
             gene_indices = np.full(g_pad, -1, dtype=np.int32)
+            for slot, gi in enumerate(chunk):
+                lengths[slot] = cov_mats[gi].shape[1]
+                gene_indices[slot] = gi
 
             def fill(lo_hi):
                 lo, hi = lo_hi
                 for slot in range(lo, hi):
                     gi = chunk[slot]
-                    Li = cov_mats[gi].shape[1]
-                    F[slot, :, :Li] = cov_mats[gi]
-                    lengths[slot] = Li
-                    gene_indices[slot] = gi
+                    F[slot, :, :cov_mats[gi].shape[1]] = cov_mats[gi]
 
-            # Slice-assignment is a (casting) memcpy that releases the GIL;
-            # thread the copy loop — page-fault zeroing of the padded
+            # int16 buckets from float mats (the post-scan common case)
+            # cast-pack in one native call at memory bandwidth; otherwise
+            # slice-assignment is a (casting) memcpy that releases the GIL,
+            # so thread the copy loop — page-fault zeroing of the padded
             # buffer and the copies themselves both parallelize.
-            n_threads = min(4, max(1, g // 512))
-            bounds = np.linspace(0, g, n_threads + 1).astype(int)
-            if n_threads > 1:
-                with ThreadPoolExecutor(n_threads) as ex:
-                    list(ex.map(fill, zip(bounds[:-1], bounds[1:])))
-            else:
-                fill((0, g))
+            if not _pack_i16_native([cov_mats[gi] for gi in chunk],
+                                    lengths[:g], F):
+                n_threads = min(4, max(1, g // 512))
+                bounds = np.linspace(0, g, n_threads + 1).astype(int)
+                if n_threads > 1:
+                    with ThreadPoolExecutor(n_threads) as ex:
+                        list(ex.map(fill, zip(bounds[:-1], bounds[1:])))
+                else:
+                    fill((0, g))
             # zero-length padding genes break nothing, but give them length 1
             # so len_mask arithmetic stays trivially valid.
             lengths[g:] = 1

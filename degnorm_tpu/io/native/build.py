@@ -132,6 +132,11 @@ def load_library() -> Optional[ctypes.CDLL]:
             lib.dn_int16able_many.argtypes = [
                 ctypes.POINTER(ctypes.c_void_p), i64, ctypes.c_int64,
                 ctypes.c_int, ctypes.c_int]
+            lib.dn_pack_i16.restype = None
+            lib.dn_pack_i16.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p), i64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+                i16, ctypes.c_int]
             lib.dn_nib_encode.restype = ctypes.c_int64
             lib.dn_nib_encode.argtypes = [
                 i16, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,

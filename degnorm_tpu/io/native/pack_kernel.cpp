@@ -79,6 +79,44 @@ int dn_int16able_many(const void* const* ptrs, const int64_t* sizes,
     return bad.load() ? 0 : 1;
 }
 
+// Cast-pack ragged float coverage matrices into one padded int16 bucket:
+// out[g, s, 0:lens[g]] = (int16) mats[g][s, :].  dtype_code: 0 = float32,
+// 1 = float64.  Values must already be validated int16able
+// (dn_int16able_many); padding stays untouched (caller provides calloc'd
+// zeros, so unwritten pages are never faulted in).
+void dn_pack_i16(const void* const* ptrs, const int64_t* lens,
+                 int64_t n_genes, int64_t p, int64_t W, int dtype_code,
+                 int16_t* out, int n_threads) {
+    n_threads = std::max(1, std::min(n_threads, 16));
+    if (n_genes < n_threads) n_threads = (int)std::max<int64_t>(n_genes, 1);
+    auto work = [&](int t) {
+        int64_t g0 = n_genes * t / n_threads;
+        int64_t g1 = n_genes * (t + 1) / n_threads;
+        for (int64_t g = g0; g < g1; g++) {
+            const int64_t L = lens[g];
+            for (int64_t s = 0; s < p; s++) {
+                int16_t* dst = out + (g * p + s) * W;
+                if (dtype_code == 0) {
+                    const float* src = (const float*)ptrs[g] + s * L;
+                    for (int64_t j = 0; j < L; j++)
+                        dst[j] = (int16_t)src[j];
+                } else {
+                    const double* src = (const double*)ptrs[g] + s * L;
+                    for (int64_t j = 0; j < L; j++)
+                        dst[j] = (int16_t)src[j];
+                }
+            }
+        }
+    };
+    if (n_threads == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> threads;
+        for (int t = 0; t < n_threads; t++) threads.emplace_back(work, t);
+        for (auto& th : threads) th.join();
+    }
+}
+
 // 4-bit delta encode of an int16 (G, p, W) coverage bucket (leading g_enc
 // genes; trailing padding genes are all-zero and left untouched — caller
 // provides calloc'd outputs).

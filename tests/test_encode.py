@@ -131,6 +131,29 @@ def test_encode_coverage_dispatch():
     assert isinstance(enc_f, DeltaEncoded)
 
 
+def test_native_pack_matches_numpy():
+    """pack_buckets' native int16 cast-pack must equal the threaded numpy
+    slice-assignment fill byte-for-byte."""
+    import degnorm_tpu.data.buckets as bk
+    rng = np.random.default_rng(14)
+    mats = [np.round(random_coverage(rng, 3, L)).astype(np.float32)
+            for L in (70, 200, 130, 512, 64)]
+    b_native = bk.pack_buckets(mats, bucket_widths=(256, 1024),
+                               dtype=np.int16)
+    orig = bk._pack_i16_native
+    bk._pack_i16_native = lambda *a, **k: False
+    try:
+        b_numpy = bk.pack_buckets(mats, bucket_widths=(256, 1024),
+                                  dtype=np.int16)
+    finally:
+        bk._pack_i16_native = orig
+    assert len(b_native) == len(b_numpy)
+    for a, b in zip(b_native, b_numpy):
+        np.testing.assert_array_equal(a.F, b.F)
+        np.testing.assert_array_equal(a.lengths, b.lengths)
+        np.testing.assert_array_equal(a.gene_indices, b.gene_indices)
+
+
 def test_engine_delta_path_matches_direct():
     from collections import OrderedDict
     from degnorm_tpu.config import EngineConfig, NMFConfig
