@@ -47,17 +47,22 @@ def _pack_i16_native(mats, lengths: np.ndarray, F: np.ndarray) -> bool:
     dt = mats[0].dtype
     if dt not in (np.float32, np.float64):
         return False
-    if any(m.dtype != dt or not m.flags.c_contiguous for m in mats):
+    p = F.shape[1]
+    # shape-check every mat (the numpy fallback's slice assignment raises
+    # loudly on row-count mismatch; the raw C kernel must never read past
+    # a differently-shaped buffer)
+    if any(m.dtype != dt or m.ndim != 2 or m.shape[0] != p
+           or not m.flags.c_contiguous for m in mats):
         return False
-    from degnorm_tpu.io.native.build import load_library
-    lib = load_library()
-    if lib is None or not hasattr(lib, "dn_pack_i16"):
+    from degnorm_tpu.io.native.build import get_fn
+    fn = get_fn("dn_pack_i16")
+    if fn is None:
         return False
     import ctypes
     n = len(mats)
     ptrs = (ctypes.c_void_p * n)(*(m.ctypes.data for m in mats))
     lens = np.ascontiguousarray(lengths[:n], np.int64)
-    lib.dn_pack_i16(
+    fn(
         ptrs, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         n, F.shape[1], F.shape[2], 0 if dt == np.float32 else 1,
         F.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),

@@ -64,16 +64,16 @@ def int16able_many_native(mats, threads: int = 4) -> Optional[bool]:
         return None
     if any(m.dtype != dt or not m.flags.c_contiguous for m in mats):
         return None
-    from degnorm_tpu.io.native.build import load_library
-    lib = load_library()
-    if lib is None or not hasattr(lib, "dn_int16able_many"):
+    from degnorm_tpu.io.native.build import get_fn
+    fn = get_fn("dn_int16able_many")
+    if fn is None:
         return None
     import ctypes
     n = len(mats)
     ptrs = (ctypes.c_void_p * n)(*(m.ctypes.data for m in mats))
     sizes = np.fromiter((m.size for m in mats), np.int64, count=n)
     code = 0 if dt == np.float32 else 1
-    return bool(lib.dn_int16able_many(
+    return bool(fn(
         ptrs, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         n, code, threads))
 
@@ -83,15 +83,14 @@ def _int16able_native(F: np.ndarray) -> Optional[bool]:
     None when unavailable (caller falls back to numpy)."""
     if F.dtype not in (np.float32, np.float64) or not F.flags.c_contiguous:
         return None
-    from degnorm_tpu.io.native.build import load_library
-    lib = load_library()
-    if lib is None or not hasattr(lib, "dn_f32_int16able"):
+    from degnorm_tpu.io.native.build import get_fn
+    fn = get_fn("dn_f32_int16able" if F.dtype == np.float32
+                else "dn_f64_int16able")
+    if fn is None:
         return None
     import ctypes
-    if F.dtype == np.float32:
-        fn, ptr_t = lib.dn_f32_int16able, ctypes.POINTER(ctypes.c_float)
-    else:
-        fn, ptr_t = lib.dn_f64_int16able, ctypes.POINTER(ctypes.c_double)
+    ptr_t = ctypes.POINTER(ctypes.c_float if F.dtype == np.float32
+                           else ctypes.c_double)
     return bool(fn(F.ctypes.data_as(ptr_t), F.size))
 
 
@@ -136,7 +135,8 @@ def delta_encode(F: np.ndarray,
         if exc_state["over"]:
             return False
         g0 = starts[si]
-        Fs = F[g0:g0 + slab]
+        g1 = min(g0 + slab, g_enc)
+        Fs = F[g0:g1]
         if Fs.dtype.kind == "f":
             if not int16able(Fs):
                 return False
@@ -167,8 +167,8 @@ def delta_encode(F: np.ndarray,
             (d.reshape(-1)[idx].astype(np.int32)
              - clipped.reshape(-1)[idx].astype(np.int32)),
         )
-        first[g0:g0 + slab] = Fi[:, :, 0]
-        deltas[g0:g0 + slab] = clipped.astype(np.int8)
+        first[g0:g1] = Fi[:, :, 0]
+        deltas[g0:g1] = clipped.astype(np.int8)
         return True
 
     with ThreadPoolExecutor(min(4, max(1, len(starts)))) as ex:
@@ -209,7 +209,11 @@ def nibble_encode(F: np.ndarray,
     """numpy 4-bit delta encoder for int16 (G, p, W) buckets — the semantic
     reference for the native kernel (pack_kernel.cpp) and the portable
     fallback.  None when W < 2 or the exception rate exceeds the cap.
-    Slab-wise over genes to bound transients, like delta_encode."""
+    Slab-wise over genes to bound transients, like delta_encode.
+
+    ``n_real`` marks how many leading genes are real; genes beyond it are
+    NOT encoded and decode to zeros — callers must only pass buckets whose
+    trailing padding genes are all-zero (data/buckets.py guarantees this)."""
     if F.ndim != 3 or F.shape[2] < 2 or F.dtype != np.int16:
         return None
     G, p, W = F.shape
@@ -224,7 +228,8 @@ def nibble_encode(F: np.ndarray,
     idx_parts, val_parts = [], []
     n_exc = 0
     for g0 in range(0, g_enc, slab):
-        Fs = F[g0:g0 + slab]
+        g1 = min(g0 + slab, g_enc)
+        Fs = F[g0:g1]
         d = np.diff(Fs.astype(np.int32), axis=2)
         c = np.clip(d, -8, 7)
         exc = d != c
@@ -238,8 +243,8 @@ def nibble_encode(F: np.ndarray,
             c = np.concatenate(
                 [c, np.zeros(c.shape[:2] + (1,), c.dtype)], axis=2)
         cu = (c & 0xF).astype(np.uint8)
-        nib[g0:g0 + slab] = cu[:, :, 0::2] | (cu[:, :, 1::2] << 4)
-        first[g0:g0 + slab] = Fs[:, :, 0]
+        nib[g0:g1] = cu[:, :, 0::2] | (cu[:, :, 1::2] << 4)
+        first[g0:g1] = Fs[:, :, 0]
     return NibEncoded(
         first=first, nib=nib,
         exc_idx=(np.concatenate(idx_parts) if idx_parts
@@ -249,18 +254,26 @@ def nibble_encode(F: np.ndarray,
         Wm1=Wm1)
 
 
+# Sentinel: the native encoder ran and REJECTED the bucket (exception rate
+# over cap) — distinct from "library unavailable" (None), so dispatch can
+# skip the numpy re-scan that would reach the identical cap.
+OVER_CAP = object()
+
+
 def nibble_encode_native(F: np.ndarray,
                          n_real: Optional[int] = None,
-                         threads: int = 0) -> Optional[NibEncoded]:
-    """Single-pass C++ twin of nibble_encode (byte-identical output);
-    None when the library is unavailable or the input ineligible."""
+                         threads: int = 0):
+    """Single-pass C++ twin of nibble_encode (byte-identical output).
+    Returns a NibEncoded, None when the library is unavailable or the
+    input ineligible, or OVER_CAP when the encoder ran and the exception
+    rate exceeded the cap (the numpy encoder would reject it too)."""
     if F.ndim != 3 or F.shape[2] < 2 or F.dtype != np.int16:
         return None
     if not F.flags.c_contiguous:
         return None
-    from degnorm_tpu.io.native.build import load_library
-    lib = load_library()
-    if lib is None or not hasattr(lib, "dn_nib_encode"):
+    from degnorm_tpu.io.native.build import get_fn
+    fn = get_fn("dn_nib_encode")
+    if fn is None:
         return None
     import ctypes
     G, p, W = F.shape
@@ -277,13 +290,13 @@ def nibble_encode_native(F: np.ndarray,
     u8 = ctypes.POINTER(ctypes.c_uint8)
     i64 = ctypes.POINTER(ctypes.c_int64)
     i32 = ctypes.POINTER(ctypes.c_int32)
-    n = int(lib.dn_nib_encode(
+    n = int(fn(
         F.ctypes.data_as(i16), g_enc, p, W,
         first.ctypes.data_as(i16), nib.ctypes.data_as(u8),
         exc_idx.ctypes.data_as(i64), exc_val.ctypes.data_as(i32),
         cap, threads))
     if n < 0:
-        return None
+        return OVER_CAP
     return NibEncoded(first=first, nib=nib, exc_idx=exc_idx[:n].copy(),
                       exc_val=exc_val[:n].copy(), Wm1=Wm1)
 
@@ -296,29 +309,51 @@ def encode_coverage(F: np.ndarray, n_real: Optional[int] = None):
         return None
     if F.dtype == np.int16:
         enc = nibble_encode_native(F, n_real)
-        if enc is None:
+        if enc is None:               # library unavailable -> numpy twin
             enc = nibble_encode(F, n_real)
-        if enc is not None:
+        if isinstance(enc, NibEncoded):
             return enc
+        # OVER_CAP / numpy None: the 4-bit form is not profitable —
+        # fall through to int8 deltas without re-scanning as nibble.
     return delta_encode(F, n_real=n_real)
 
 
 def decode_coverage_device(enc):
     """Reconstruct the exact int16 (G, p, W) device array from either
-    encoded form (dispatch counterpart of encode_coverage)."""
-    import jax.numpy as jnp
+    encoded form (dispatch counterpart of encode_coverage).  Fields are
+    handed over as host arrays — the decoders split the int64 exception
+    indices on host before any device transfer (see _exc_row_col)."""
     if isinstance(enc, NibEncoded):
-        return nib_decode_device(
-            jnp.asarray(enc.first), jnp.asarray(enc.nib),
-            jnp.asarray(enc.exc_idx), jnp.asarray(enc.exc_val), enc.Wm1)
-    return delta_decode_device(
-        jnp.asarray(enc.first), jnp.asarray(enc.deltas),
-        jnp.asarray(enc.exc_idx), jnp.asarray(enc.exc_val))
+        return nib_decode_device(enc.first, enc.nib, enc.exc_idx,
+                                 enc.exc_val, enc.Wm1)
+    return delta_decode_device(enc.first, enc.deltas, enc.exc_idx,
+                               enc.exc_val)
+
+
+def _exc_row_col(exc_idx, Wm1: int):
+    """Split flat (G, p, W-1)-space exception indices into int32
+    (row, column) pairs ON HOST.  The flat form can exceed 2^31 on
+    large-HBM parts, and without jax_enable_x64 (the production default)
+    jnp.asarray would silently truncate int64 -> int32, scattering
+    exceptions to wrong positions.  Rows (G*p) and columns (W-1) are each
+    far below 2^31 individually."""
+    exc_idx = np.asarray(exc_idx)
+    return ((exc_idx // Wm1).astype(np.int32),
+            (exc_idx % Wm1).astype(np.int32))
+
+
+def nib_decode_device(first, nib, exc_idx, exc_val, Wm1: int):
+    """Unpack + reconstruct the exact int16 (G, p, W) array on device."""
+    import jax.numpy as jnp
+    row, col = _exc_row_col(exc_idx, Wm1)
+    return _nib_decode_jit(jnp.asarray(np.asarray(first)),
+                           jnp.asarray(np.asarray(nib)),
+                           jnp.asarray(row), jnp.asarray(col),
+                           jnp.asarray(np.asarray(exc_val)), Wm1)
 
 
 @functools.partial(__import__("jax").jit, static_argnames=("Wm1",))
-def nib_decode_device(first, nib, exc_idx, exc_val, Wm1: int):
-    """Unpack + reconstruct the exact int16 (G, p, W) array on device."""
+def _nib_decode_jit(first, nib, exc_row, exc_col, exc_val, Wm1: int):
     import jax.numpy as jnp
     G, p, nb = nib.shape
     b = nib.astype(jnp.int32)
@@ -327,18 +362,28 @@ def nib_decode_device(first, nib, exc_idx, exc_val, Wm1: int):
     lo = jnp.where(lo > 7, lo - 16, lo)
     hi = jnp.where(hi > 7, hi - 16, hi)
     d = jnp.stack([lo, hi], axis=-1).reshape(G, p, 2 * nb)[:, :, :Wm1]
-    d = d.reshape(-1).at[exc_idx].add(exc_val).reshape(G, p, Wm1)
+    d = d.reshape(G * p, Wm1).at[exc_row, exc_col].add(exc_val)
+    d = d.reshape(G, p, Wm1)
     full = jnp.concatenate([first.astype(jnp.int32)[:, :, None], d], axis=2)
     return jnp.cumsum(full, axis=2).astype(jnp.int16)
 
 
-@functools.partial(__import__("jax").jit, static_argnames=())
 def delta_decode_device(first, deltas, exc_idx, exc_val):
     """Reconstruct the exact int16 (G, p, W) array on device."""
     import jax.numpy as jnp
+    row, col = _exc_row_col(exc_idx, np.asarray(deltas).shape[2])
+    return _delta_decode_jit(jnp.asarray(np.asarray(first)),
+                             jnp.asarray(np.asarray(deltas)),
+                             jnp.asarray(row), jnp.asarray(col),
+                             jnp.asarray(np.asarray(exc_val)))
+
+
+@functools.partial(__import__("jax").jit, static_argnames=())
+def _delta_decode_jit(first, deltas, exc_row, exc_col, exc_val):
+    import jax.numpy as jnp
     G, p, Wm1 = deltas.shape
-    d = deltas.astype(jnp.int32).reshape(-1)
-    d = d.at[exc_idx].add(exc_val)
+    d = deltas.astype(jnp.int32).reshape(G * p, Wm1)
+    d = d.at[exc_row, exc_col].add(exc_val)
     d = d.reshape(G, p, Wm1)
     full = jnp.concatenate([first.astype(jnp.int32)[:, :, None], d], axis=2)
     return jnp.cumsum(full, axis=2).astype(jnp.int16)

@@ -309,14 +309,20 @@ class DegNormEngine:
 
         The reference draws thread-shared numpy randints (racy under
         threading, SURVEY.md §2.2); we key a PRNG per (seed, iteration,
-        gene) instead — a documented behavioral fix."""
+        gene) instead — a documented behavioral fix.  Offsets are drawn
+        for the GLOBAL gene order and looked up by gene id, so they are
+        invariant to bucket-internal permutations (init presort,
+        exit-round reorder) and to resume/mesh paths — the property
+        PARITY.md documents."""
         if self.nmf_cfg.downsample_rate <= 1:
             return jnp.zeros(bucket.F.shape[0], jnp.int32)
         key = jax.random.fold_in(
             jax.random.PRNGKey(self.nmf_cfg.random_state), iteration)
-        return jax.random.randint(
-            key, (bucket.F.shape[0],), 0, self.nmf_cfg.downsample_rate,
+        all_offs = jax.random.randint(
+            key, (self._n_genes,), 0, self.nmf_cfg.downsample_rate,
             dtype=jnp.int32)
+        slots = jnp.asarray(np.maximum(bucket.gene_indices, 0))
+        return jnp.take(all_offs, slots)
 
     # -- main loop -------------------------------------------------------
     def run(self, cov_dat: Mapping[str, np.ndarray],
@@ -357,6 +363,7 @@ class DegNormEngine:
         genes = list(cov_dat.keys())
         cov_mats = [np.asarray(cov_dat[g]) for g in genes]
         n = len(cov_mats)
+        self._n_genes = n
         if n == 0:
             raise ValueError("no coverage matrices supplied")
         p = cov_mats[0].shape[0]

@@ -53,6 +53,14 @@ def _so_path() -> str:
     return os.path.join(_DIR, f"libdnbam_{h.hexdigest()[:12]}.so")
 
 
+def get_fn(name: str):
+    """The named configured symbol from the native library, or None when
+    the library is unavailable (single shared gate for the host-kernel
+    wrappers in data/encode.py and data/buckets.py)."""
+    lib = load_library()
+    return getattr(lib, name, None) if lib is not None else None
+
+
 def load_library() -> Optional[ctypes.CDLL]:
     """Compile (if needed) and load the native library; None on failure."""
     global _LIB, _FAILED

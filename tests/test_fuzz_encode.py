@@ -8,9 +8,12 @@ deterministic cases in tests/test_encode.py.
 import numpy as np
 import pytest
 
-from degnorm_tpu.data.encode import (DeltaEncoded, NibEncoded,
+from degnorm_tpu.data.encode import (OVER_CAP, DeltaEncoded, NibEncoded,
                                      decode_coverage_device, encode_coverage,
                                      nibble_encode, nibble_encode_native)
+from degnorm_tpu.io.native.build import get_fn
+
+_NATIVE = get_fn("dn_nib_encode") is not None
 
 
 def random_bucket(rng):
@@ -41,16 +44,20 @@ def test_fuzz_encode_roundtrip_and_native_parity(seed):
     for _ in range(20):
         F, n_real = random_bucket(rng)
         a = nibble_encode(F, n_real=n_real)
-        b = nibble_encode_native(F, n_real=n_real,
-                                 threads=int(rng.integers(1, 5)))
-        if b is not None:      # native lib present
-            assert (a is None) == (b is None)
-        if a is not None and b is not None:
-            np.testing.assert_array_equal(a.first, b.first)
-            np.testing.assert_array_equal(a.nib, b.nib)
-            np.testing.assert_array_equal(a.exc_idx, b.exc_idx)
-            np.testing.assert_array_equal(a.exc_val, b.exc_val)
-            assert a.Wm1 == b.Wm1
+        if _NATIVE:
+            b = nibble_encode_native(F, n_real=n_real,
+                                     threads=int(rng.integers(1, 5)))
+            # with the library present, None is impossible for eligible
+            # input: the native encoder either produces the byte-identical
+            # form or rejects over-cap exactly where the numpy one does
+            assert (a is None) == (b is OVER_CAP)
+            if a is not None:
+                assert isinstance(b, NibEncoded)
+                np.testing.assert_array_equal(a.first, b.first)
+                np.testing.assert_array_equal(a.nib, b.nib)
+                np.testing.assert_array_equal(a.exc_idx, b.exc_idx)
+                np.testing.assert_array_equal(a.exc_val, b.exc_val)
+                assert a.Wm1 == b.Wm1
         enc = encode_coverage(F, n_real=n_real)
         assert isinstance(enc, (NibEncoded, DeltaEncoded, type(None)))
         if enc is not None:
