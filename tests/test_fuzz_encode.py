@@ -16,6 +16,15 @@ from degnorm_tpu.io.native.build import get_fn
 _NATIVE = get_fn("dn_nib_encode") is not None
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jit_caches_after():
+    """Random decode shapes compile many distinct XLA programs; release
+    them afterwards (see test_fuzz_engine)."""
+    yield
+    import jax
+    jax.clear_caches()
+
+
 def random_bucket(rng):
     G = int(rng.integers(1, 12))
     p = int(rng.integers(1, 6))

@@ -19,6 +19,16 @@ from degnorm_tpu.oracle import nmfoa as oracle
 from tests.conftest import random_coverage
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jit_caches_after():
+    """The random shapes here compile ~100 distinct XLA programs; release
+    them afterwards — accumulated executables have segfaulted later
+    large compiles (test_stream) in full-suite runs."""
+    yield
+    import jax
+    jax.clear_caches()
+
+
 def random_dataset(rng):
     n = int(rng.integers(4, 16))
     p = int(rng.integers(2, 5))
