@@ -71,6 +71,28 @@ def iteration_update(state: GlobalState, rho_raw: np.ndarray) -> GlobalState:
                        scale_factors=scale_factors)
 
 
+def device_iteration_math(rho_raw, x_weighted, scale_factors):
+    """jnp twin of ``iteration_update`` — the single device-side
+    implementation of the post-baseline-selection global update, shared by
+    the engine's device-resident outer loop (engine.py) and the fused
+    sharded step (parallel/sharded.py; there the cross-gene column sums
+    become implicit psums over the gene shards).  Keep the op order in
+    lockstep with ``iteration_update`` above.
+
+    Returns (rho, x_adj, x_weighted_new, norm_factors, scale_factors_new).
+    """
+    import jax.numpy as jnp
+    rho = jnp.clip(rho_raw, 0.0, 0.9)
+    x_adj = x_weighted / (1 - rho)
+    non_bs = jnp.max(rho, axis=1) == 0
+    sample_avg = 1 - jnp.sum(x_weighted, axis=0) / jnp.sum(x_adj, axis=0)
+    rho = jnp.where(non_bs[:, None], sample_avg[None, :], rho)
+    x_adj = x_weighted / (1 - rho)
+    col = jnp.sum(x_adj, axis=0)
+    norm = col / jnp.median(col)
+    return rho, x_adj, x_weighted / norm, norm, scale_factors * norm
+
+
 def rho_from_ratio_svd(cov_sums: np.ndarray, est_sums: np.ndarray) -> np.ndarray:
     """Initial DI scores 1 - sum(F)/(sum(est)+1) (nmf.py:524-526)."""
     return 1 - cov_sums / (est_sums + 1)

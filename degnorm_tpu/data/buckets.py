@@ -74,6 +74,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _quantize_down(c: int) -> int:
+    """Largest gene-count ladder value (64, 96, 128, 192, 256, ...) <= c,
+    so byte-capped chunks quantize UP to at most the cap itself (without
+    this, _quantize_count could inflate a cap-sized chunk 1.5x past the
+    engine's HBM guard)."""
+    import math
+    if c < 64:
+        return c
+    b = 1 << int(math.floor(math.log2(c)))
+    return b + b // 2 if b + b // 2 <= c else b
+
+
 def _quantize_count(g: int) -> int:
     """Round a gene count up to a coarse ladder (64, 96, 128, 192, 256, ...)
     so bucket shapes — and therefore compiled kernels — recur across
@@ -151,16 +163,23 @@ def pack_buckets(
     for w in sorted(groups):
         idxs = groups[w]
         cap = max_genes_per_bucket if max_genes_per_bucket > 0 else len(idxs)
+        quantize_w = quantize_genes
         if max_bucket_bytes > 0:
-            # keep each padded (G, p, w) array under the device-memory cap
+            # keep each padded (G, p, w) array under the device-memory cap;
+            # align the cap to the quantization ladder so the padded count
+            # cannot round back up past it
             byte_cap = max(8, int(max_bucket_bytes // (p * w * itemsize)))
+            if byte_cap < 64:
+                quantize_w = False        # ladder floor (64) would exceed
+            elif quantize_w:
+                byte_cap = _quantize_down(byte_cap)
             cap = min(cap, byte_cap)
         chunks = [idxs[s:s + cap] for s in range(0, len(idxs), cap)] \
             if cap < len(idxs) else [idxs]
         for chunk in chunks:
             g = len(chunk)
             g_pad = _round_up(g, max(pad_genes_to, 1))
-            if quantize_genes:
+            if quantize_w:
                 g_pad = _round_up(_quantize_count(g_pad),
                                   max(pad_genes_to, 1))
             F = np.zeros((g_pad, p, w), dtype=dtype)

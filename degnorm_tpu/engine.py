@@ -54,13 +54,26 @@ def _shard_map_genes(fn, mesh, mesh_axis, gene_args, repl_args):
         *gene_args, *repl_args)
 
 
+def _seqpar_safe(eng_cfg: EngineConfig, column_sharded: bool) -> EngineConfig:
+    """Column-sharded (seqpar) buckets must not route into Pallas kernels:
+    the pallas_call is an opaque custom call GSPMD cannot partition along
+    the sharded position axis (it would replicate the one bucket that was
+    sharded precisely because it is huge, or trip a Mosaic error).  The
+    XLA lowering shards transparently."""
+    if not column_sharded:
+        return eng_cfg
+    import dataclasses as _dc
+    return _dc.replace(eng_cfg, use_pallas=False, stream_nmf=False)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("nmf_cfg", "eng_cfg", "with_estimates",
-                                    "mesh", "mesh_axis"))
+                                    "mesh", "mesh_axis", "column_sharded"))
 def _bucket_step(F, len_mask, scale_factors, ds_start, nmf_cfg: NMFConfig,
                  eng_cfg: EngineConfig,
                  with_estimates: bool = True,
-                 mesh=None, mesh_axis: str = "genes") -> BucketResult:
+                 mesh=None, mesh_axis: str = "genes",
+                 column_sharded: bool = False) -> BucketResult:
     """One DegNorm iteration's device work for one bucket: scale-adjust the
     coverage (nmf.py:142-146,563) then run batched baseline selection.
     ``with_estimates=False`` skips the (G, W) estimate factor output —
@@ -75,6 +88,8 @@ def _bucket_step(F, len_mask, scale_factors, ds_start, nmf_cfg: NMFConfig,
     With ``mesh`` (gene-sharded bucket), the whole computation — which is
     per-gene end to end — runs under shard_map so the Pallas kernels see
     local shard shapes."""
+    eng_cfg = _seqpar_safe(eng_cfg, column_sharded)
+
     def step(F, len_mask, ds_start, scale_factors):
         F_raw = F if F.dtype == jnp.int16 else None
         Ff = F.astype(scale_factors.dtype)
@@ -115,15 +130,7 @@ def _device_iteration_update(rho_parts, idx_parts, x_weighted,
     over the gene shards; all outputs are (n, p)/(p,)-sized and replicated.
     """
     rho_raw = _device_scatter(rho_parts, idx_parts, n, 0.0)
-    rho = jnp.clip(rho_raw, 0.0, 0.9)
-    x_adj = x_weighted / (1 - rho)
-    non_bs = jnp.max(rho, axis=1) == 0
-    sample_avg = 1 - jnp.sum(x_weighted, axis=0) / jnp.sum(x_adj, axis=0)
-    rho = jnp.where(non_bs[:, None], sample_avg[None, :], rho)
-    x_adj = x_weighted / (1 - rho)
-    col = jnp.sum(x_adj, axis=0)
-    norm = col / jnp.median(col)
-    return rho, x_adj, x_weighted / norm, norm, scale_factors * norm
+    return outer.device_iteration_math(rho_raw, x_weighted, scale_factors)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -141,12 +148,16 @@ def _device_init_state(cov_parts, est_parts, idx_parts, x, n):
     return x / norm, norm
 
 
-@functools.partial(jax.jit, static_argnames=("eng_cfg", "mesh", "mesh_axis"))
+@functools.partial(jax.jit, static_argnames=("eng_cfg", "mesh", "mesh_axis",
+                                             "column_sharded"))
 def _bucket_init(F, len_mask, eng_cfg: EngineConfig,
-                 mesh=None, mesh_axis: str = "genes"):
+                 mesh=None, mesh_axis: str = "genes",
+                 column_sharded: bool = False):
     """Initialization: ratio-SVD row sums on the raw coverage
     (nmf.py:522-526).  Per-gene end to end, so it shard_maps like
     _bucket_step when the bucket is mesh-sharded."""
+    eng_cfg = _seqpar_safe(eng_cfg, column_sharded)
+
     def init(F, len_mask):
         if F.dtype == jnp.int16:
             F = F.astype(jnp.dtype(eng_cfg.dtype))
@@ -304,6 +315,13 @@ class DegNormEngine:
             return None
         return self.mesh if self._bucket_gene_sharded[i] else None
 
+    def _col_sharded(self, i: int) -> bool:
+        """True for seqpar (column-sharded) buckets — their kernels must
+        stay on the GSPMD-partitionable XLA path (see _seqpar_safe)."""
+        return (self.mesh is not None
+                and bool(getattr(self, "_bucket_gene_sharded", None))
+                and not self._bucket_gene_sharded[i])
+
     def _ds_starts(self, bucket: GeneBucket, iteration: int) -> jnp.ndarray:
         """Deterministic per-gene systematic-sampling offsets.
 
@@ -315,14 +333,18 @@ class DegNormEngine:
         exit-round reorder) and to resume/mesh paths — the property
         PARITY.md documents."""
         if self.nmf_cfg.downsample_rate <= 1:
-            return jnp.zeros(bucket.F.shape[0], jnp.int32)
-        key = jax.random.fold_in(
-            jax.random.PRNGKey(self.nmf_cfg.random_state), iteration)
-        all_offs = jax.random.randint(
-            key, (self._n_genes,), 0, self.nmf_cfg.downsample_rate,
-            dtype=jnp.int32)
-        slots = jnp.asarray(np.maximum(bucket.gene_indices, 0))
-        return jnp.take(all_offs, slots)
+            return np.zeros(bucket.F.shape[0], np.int32)
+        # draw the global vector once per iteration (the eager PRNG ops
+        # round-trip the device relay; per-bucket redraws multiplied that)
+        cache = getattr(self, "_ds_cache", None)
+        if cache is None or cache[0] != iteration:
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(self.nmf_cfg.random_state), iteration)
+            cache = (iteration, np.asarray(jax.random.randint(
+                key, (self._n_genes,), 0, self.nmf_cfg.downsample_rate,
+                dtype=jnp.int32)))
+            self._ds_cache = cache
+        return cache[1][np.maximum(bucket.gene_indices, 0)]
 
     # -- main loop -------------------------------------------------------
     def run(self, cov_dat: Mapping[str, np.ndarray],
@@ -366,6 +388,8 @@ class DegNormEngine:
         self._n_genes = n
         if n == 0:
             raise ValueError("no coverage matrices supplied")
+        if self.nmf_cfg.degnorm_iter < 1:
+            raise ValueError("degnorm_iter must be >= 1")
         p = cov_mats[0].shape[0]
         x = np.asarray(reads_dat, dtype=np.float64)
         if x.shape[0] != n:
@@ -389,6 +413,12 @@ class DegNormEngine:
                        else (self.mesh is not None
                              and jax.process_count() > 1))
         if device_loop:
+            if checkpoint_dir:
+                import logging
+                logging.getLogger("degnorm_tpu").warning(
+                    "checkpoint_dir is not supported on the device-resident "
+                    "outer loop (multi-process mesh); per-iteration "
+                    "checkpoints will NOT be written")
             return self._run_device_loop(genes, cov_mats, x, n, p, dtype)
 
         # ---- resume from checkpoint? ----
@@ -411,7 +441,8 @@ class DegNormEngine:
             est_sums = np.zeros((n, p))
             init_out = [_bucket_init(F_d, m_d, self.eng_cfg,
                                      mesh=self._bucket_mesh(i),
-                                     mesh_axis=self.eng_cfg.mesh_axis)
+                                     mesh_axis=self.eng_cfg.mesh_axis,
+                                     column_sharded=self._col_sharded(i))
                         for i, (F_d, m_d) in enumerate(
                             zip(self._device_F, self._device_mask))]
             for b, (cs, es) in zip(self._buckets, init_out):
@@ -446,7 +477,8 @@ class DegNormEngine:
                                  self.nmf_cfg.kernel_key(), self.eng_cfg,
                                  with_estimates=final,
                                  mesh=self._bucket_mesh(i),
-                                 mesh_axis=self.eng_cfg.mesh_axis)
+                                 mesh_axis=self.eng_cfg.mesh_axis,
+                                 column_sharded=self._col_sharded(i))
                     for i, (b, F_d, m_d) in enumerate(
                         zip(self._buckets, self._device_F,
                             self._device_mask))]
@@ -508,7 +540,8 @@ class DegNormEngine:
         t0 = _time.perf_counter()
         init_out = [_bucket_init(F_d, m_d, self.eng_cfg,
                                  mesh=self._bucket_mesh(i),
-                                 mesh_axis=self.eng_cfg.mesh_axis)
+                                 mesh_axis=self.eng_cfg.mesh_axis,
+                                 column_sharded=self._col_sharded(i))
                     for i, (F_d, m_d) in enumerate(
                         zip(self._device_F, self._device_mask))]
         x_weighted, norm = _device_init_state(
@@ -530,7 +563,8 @@ class DegNormEngine:
                              self.nmf_cfg.kernel_key(), self.eng_cfg,
                              with_estimates=final,
                              mesh=self._bucket_mesh(i),
-                             mesh_axis=self.eng_cfg.mesh_axis)
+                             mesh_axis=self.eng_cfg.mesh_axis,
+                             column_sharded=self._col_sharded(i))
                 for i, (b, F_d, m_d) in enumerate(
                     zip(self._buckets, self._device_F, self._device_mask))]
             rho, x_adj, x_weighted, norm, scale = _device_iteration_update(
@@ -599,6 +633,11 @@ class DegNormEngine:
         becomes a contiguous suffix — letting the NMF kernel's block-level
         early exit actually skip whole blocks (randomly ordered genes leave
         almost every 64-gene block 'active')."""
+        if self.mesh is not None:
+            # sharded device arrays: an eager gather along the sharded gene
+            # axis would transiently replicate the largest arrays of the
+            # run and disturb their placement — same guard as the presort
+            return
         for i, (b, res) in enumerate(zip(self._buckets, results)):
             ra = np.asarray(res.rounds_active)
             perm = np.argsort(ra, kind="stable")

@@ -47,8 +47,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from degnorm_tpu.ops.pallas_nmf import (_EPS, _VMEM_BUDGET, _gram,
-                                        _pack_groups, _gram_from_groups,
-                                        _power, _power_warm)
+                                        _gram_mxu, _pack_groups,
+                                        _gram_from_groups, _power,
+                                        _power_warm)
 
 # Minimum chunk width streamed through VMEM. 1024 lanes x 4 B = 4 KB
 # contiguous per (gene, sample) row — comfortably efficient DMA; every
@@ -85,6 +86,8 @@ def _gram_chunk(X, gram_mode):
     """(bg, p, Wc) -> (bg, p, p) partial Gram of one chunk."""
     if gram_mode == "vpu":
         return _gram(X)
+    if gram_mode == "mxu":         # pure-f32 Gram opt-out (PARITY.md §5)
+        return _gram_mxu(X)
     p = X.shape[1]
     return _gram_from_groups(_pack_groups(X), p)
 
@@ -240,8 +243,8 @@ def nmf_masked_streamed(
                  else jnp.ones((1, p), cdt))
     if gram_mode in ("auto", "packed_slice", "mxu_bf16"):
         gram_mode = "vpu" if interpret else "packed"
-    elif gram_mode == "mxu":
-        gram_mode = "packed"
+    # "mxu" (the documented pure-f32 Gram opt-out) and "vpu" pass through
+    # unchanged — _gram_chunk honors both without bf16 panels.
 
     chunk_w = _pick_chunk_w(p, W, itemsize=jnp.dtype(F.dtype).itemsize)
     if chunk_w == 0:

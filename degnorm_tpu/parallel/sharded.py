@@ -97,18 +97,10 @@ def sharded_iteration_step(
     else:
         res = kernel(F, len_mask, ds_start, scale_factors)
 
-    rho = jnp.clip(res.rho, 0.0, 0.9)                  # nmf.py:398-399
-    x_adj = x_weighted / (1 - rho)
-
-    # correct_di_scores (nmf.py:148-158): cross-gene column sums -> psum.
-    non_bs = jnp.max(rho, axis=1) == 0
-    sample_avg = 1 - jnp.sum(x_weighted, axis=0) / jnp.sum(x_adj, axis=0)
-    rho = jnp.where(non_bs[:, None], sample_avg[None, :], rho)
-
-    x_adj = x_weighted / (1 - rho)
-    col = jnp.sum(x_adj, axis=0)                       # psum over gene shards
-    norm_factors = col / jnp.median(col)
-    x_weighted_new = x_weighted / norm_factors
-    scale_new = scale_factors * norm_factors
-
+    # clip / correct_di_scores / norm-factor fold-in (nmf.py:396-399,
+    # 574-590); cross-gene column sums become implicit psums over the
+    # gene shards.  Single shared implementation: core/degnorm.py.
+    from degnorm_tpu.core.degnorm import device_iteration_math
+    rho, x_adj, x_weighted_new, norm_factors, scale_new = \
+        device_iteration_math(res.rho, x_weighted, scale_factors)
     return rho, x_adj, x_weighted_new, norm_factors, scale_new, res.ran_bs

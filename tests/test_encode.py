@@ -179,3 +179,31 @@ def test_engine_delta_path_matches_direct():
         enc_mod.encode_coverage = orig
     np.testing.assert_array_equal(r1.rho, r2.rho)
     np.testing.assert_array_equal(r1.x_adj, r2.x_adj)
+
+
+def test_bucket_byte_cap_respects_quantization():
+    """A byte-capped bucket must not quantize back up past the cap (the
+    engine's HBM guard sizes buckets by this cap)."""
+    from degnorm_tpu.data.buckets import pack_buckets
+    rng = np.random.default_rng(15)
+    mats = [np.round(random_coverage(rng, 2, 100)).astype(np.float32)
+            for _ in range(500)]
+    p, w, item = 2, 128, 4
+    for cap_genes in (100, 150, 37):
+        bs = pack_buckets(mats, bucket_widths=(128,), dtype=np.int16,
+                          max_bucket_bytes=cap_genes * p * w * item,
+                          budget_itemsize=item)
+        assert all(b.F.shape[0] <= cap_genes for b in bs), \
+            [(cap_genes, b.F.shape) for b in bs]
+        assert sum(b.n_real for b in bs) == len(mats)
+
+
+def test_engine_rejects_zero_iterations():
+    from collections import OrderedDict
+    from degnorm_tpu.config import NMFConfig
+    from degnorm_tpu.engine import DegNormEngine
+    import pytest
+    cov = OrderedDict(g0=np.ones((2, 64)))
+    with pytest.raises(ValueError, match="degnorm_iter"):
+        DegNormEngine(NMFConfig(nmf_iter=2, degnorm_iter=0)).run(
+            cov, np.ones((1, 2)))

@@ -195,3 +195,20 @@ def test_nmf_masked_routes_wide_blocks_to_stream(monkeypatch):
     nmf_masked(F, mask, nmf_iter=2, use_pallas=True, pallas_interpret=True,
                power_iters_cold=8, power_iters_warm=4, lam_dtype="bf16")
     assert not calls.get("hit")
+
+
+def test_streamed_mxu_mode_pure_f32():
+    """gram_mode="mxu" is the documented pure-f32 Gram opt-out (PARITY.md
+    known deviation 5) — the streamed kernel must honor it rather than
+    silently remapping to the bf16 packed panels. f32 MXU vs f32 VPU Gram
+    differ only by contraction order, so the tolerance is tight."""
+    rng = np.random.default_rng(63)
+    F, mask = wide_bucket(rng, 8, 8, 2 * _CHUNK_W)
+    kw = dict(nmf_iter=8, power_iters_cold=60, power_iters_warm=10)
+    K1, E1, _ = nmf_masked(F, mask, **kw)
+    K2, E2, _ = nmf_masked_streamed(F, mask, interpret=True,
+                                    gram_mode="mxu", **kw)
+    np.testing.assert_allclose(np.asarray(K1), np.asarray(K2),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(E1), np.asarray(E2),
+                               rtol=1e-4, atol=1e-4)
