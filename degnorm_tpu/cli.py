@@ -41,8 +41,6 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iter", type=int, default=5, dest="degnorm_iter")
     p.add_argument("--minimax-coverage", type=int, default=0)
     p.add_argument("-s", "--skip-baseline-selection", action="store_true")
-    p.add_argument("-u", "--unique-alignments", action="store_true",
-                   default=True, help=argparse.SUPPRESS)
     p.add_argument("--non-unique-alignments", action="store_true",
                    help="keep reads with NH > 1")
     p.add_argument("-p", "--proc-per-node", type=int, default=1,

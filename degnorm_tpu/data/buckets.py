@@ -165,15 +165,28 @@ def pack_buckets(
         cap = max_genes_per_bucket if max_genes_per_bucket > 0 else len(idxs)
         quantize_w = quantize_genes
         if max_bucket_bytes > 0:
-            # keep each padded (G, p, w) array under the device-memory cap;
-            # align the cap to the quantization ladder so the padded count
-            # cannot round back up past it
+            # keep each padded (G, p, w) array under the device-memory cap:
+            # the FINAL padded gene count (chunk -> pad_genes_to multiple ->
+            # quantization ladder -> pad multiple again) must not round back
+            # up past the cap the engine's HBM guard computed
             byte_cap = max(8, int(max_bucket_bytes // (p * w * itemsize)))
-            if byte_cap < 64:
-                quantize_w = False        # ladder floor (64) would exceed
-            elif quantize_w:
-                byte_cap = _quantize_down(byte_cap)
-            cap = min(cap, byte_cap)
+            padm = max(pad_genes_to, 1)
+            c = byte_cap
+            if quantize_w:
+                # largest ladder value whose pad-rounded form fits the cap;
+                # a chunk of at most (L // padm) * padm genes then pads to
+                # exactly L and never rounds past the cap
+                L = _quantize_down(byte_cap)
+                while L >= 64 and _round_up(L, padm) > byte_cap:
+                    L = _quantize_down(L - 1)
+                if L >= 64 and (L // padm) * padm >= 8:
+                    c = (L // padm) * padm
+                else:
+                    quantize_w = False
+            if not quantize_w:
+                # pad_genes_to is a hard floor (mesh divisibility)
+                c = max(padm, (byte_cap // padm) * padm)
+            cap = min(cap, c)
         chunks = [idxs[s:s + cap] for s in range(0, len(idxs), cap)] \
             if cap < len(idxs) else [idxs]
         for chunk in chunks:

@@ -460,7 +460,13 @@ def read_bam_region(path: str, bai_path: str, tid: int,
                     drop_unmapped: bool = True
                     ) -> Tuple[BamHeader, ReadColumns]:
     """BAI-driven region fetch: inflate only the BGZF blocks covering the
-    region's chunks (the pysam ``fetch`` equivalent, reads.py:225)."""
+    region's chunks (the role pysam ``fetch`` plays at reads.py:225).
+
+    NOTE: records are kept by START position in [beg, end) — unlike pysam
+    fetch, a read starting before ``beg`` that overlaps into the region is
+    NOT returned.  The pipeline only fetches whole chromosomes (beg=0), so
+    both semantics coincide there; windowed callers wanting overlap
+    semantics should widen ``beg`` by the max read span."""
     from degnorm_tpu.io.bai import fetch_region_bytes, read_bai
     header = read_header(path)
     index = read_bai(bai_path)

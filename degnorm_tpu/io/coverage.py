@@ -132,6 +132,24 @@ def read_match_segments(cols: ReadColumns, compat: str = "reference"
     return seg_read, seg_start, seg_end, end_pos
 
 
+def check_compat_match_regions(cols: ReadColumns) -> None:
+    """Reference parity: a CIGAR with no literal 'M' op raises
+    (reads.py:62-64 — cigar_segment_bounds errors per read, crashing the
+    reference's ETL).  Called by both the numpy and native compat paths
+    BEFORE unit building, which indexes each read's first/last segment and
+    must never see a zero-segment read."""
+    match = (cols.cigar_ops == 0).astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(match)])
+    per_read = cs[cols.cigar_offsets[1:]] - cs[cols.cigar_offsets[:-1]]
+    bad = np.flatnonzero(per_read == 0)
+    if len(bad):
+        raise ValueError(
+            f"CIGAR string has no matching region (read index {bad[0]}, "
+            f"{len(bad)} total) — reference-compat mode counts only "
+            "literal 'M' ops; aligners emitting '='/'X' need "
+            "cigar_compat='strict'")
+
+
 def unpaired_qnames(qnames: np.ndarray) -> np.ndarray:
     """Strip the trailing '.1'/'.2' mate token (reads.py:258),
     vectorized through pandas string kernels."""
@@ -352,7 +370,12 @@ def coverage_increment(cov: np.ndarray, positions: np.ndarray,
     wrapped = np.where(positions < 0, positions + modulus, positions)
     if owner_dirty is not None and owner_dirty.any():
         is_dirty = owner_dirty[owner]
-        key = owner[is_dirty].astype(np.int64) * modulus + wrapped[is_dirty]
+        wd = wrapped[is_dirty]
+        # drop positions past the vector end — same semantics as the clean
+        # path's [:modulus] truncation and the C++ kernel's bounds check
+        # (a % wrap here would add coverage at wrong positions)
+        ok = wd < modulus
+        key = owner[is_dirty][ok].astype(np.int64) * modulus + wd[ok]
         uniq = np.unique(key)
         np.add.at(cov, (uniq % modulus).astype(np.int64), 1)
         wrapped = wrapped[~is_dirty]
@@ -418,6 +441,14 @@ def chromosome_coverage_read_counts(
     # ---- step 1: match segments, span filter (reads.py:404-420) ----
     seg_read, seg_start, seg_end, end_pos = read_match_segments(
         cols, compat=compat)
+    if compat == "reference":
+        check_compat_match_regions(cols)
+    else:
+        # strict mode: a read whose CIGAR consumes no matched reference
+        # bases (pure S/I/H) covers nothing — drop it (unit building
+        # indexes each read's first/last segment)
+        seg_counts = np.bincount(seg_read, minlength=len(cols.pos))
+        keep &= seg_counts > 0
     keep &= ((cols.pos >= gene_start0.min())
              & (end_pos <= gene_end0.max()))
 

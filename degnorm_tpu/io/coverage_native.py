@@ -42,6 +42,9 @@ def chromosome_coverage_native(
         return None
     if paired and cols.pair_hash is None:
         return None
+    # reference parity (and kernel precondition): no-'M' CIGARs raise
+    from degnorm_tpu.io.coverage import check_compat_match_regions
+    check_compat_match_regions(cols)
 
     genes = chrom_gene_df.gene.values
     n_genes = len(genes)

@@ -80,9 +80,6 @@ def merge_coverage(
                 overlap_genes_present |= set(cc.overlap_coverage.keys())
 
         if any_iso:
-            chrom_len = max(len(cc.isolated_coverage) for cc in per_sample
-                            if cc is not None
-                            and cc.isolated_coverage is not None)
             for gene in iso_genes_order:
                 if gene in overlap_genes_present:
                     continue

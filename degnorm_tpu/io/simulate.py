@@ -71,7 +71,11 @@ def simulate_sample(rng, genes: Sequence[SimGene], chrom_len: int,
         for _ in range(n_reads):
             u = rng.random()
             if degradation > 0:
-                u = u ** (1.0 / max(1e-6, 1 - degradation))  # 3' bias
+                # 3' bias: exponent < 1 pushes u toward 1, so read starts
+                # pile up at the transcript END (the 1/(1-d) form used
+                # previously concentrated u near 0 — a 5' bias, inverted
+                # vs. what poly-A-selected degradation produces)
+                u = u ** max(1e-6, 1.0 - degradation)
             k = int(u * (L - read_len))
             span = tx[k:k + read_len]
             # emit cigar with N gaps across introns

@@ -25,7 +25,7 @@ def save_checkpoint(output_dir: str, iteration: int, state,
     path = checkpoint_path(output_dir)
     tmp = path + ".tmp"
     np.savez_compressed(
-        tmp if tmp.endswith(".npz") else tmp,
+        tmp,
         iteration=np.int64(iteration),
         x=state.x, x_weighted=state.x_weighted, x_adj=state.x_adj,
         rho=state.rho, norm_factors=state.norm_factors,

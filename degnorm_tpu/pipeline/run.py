@@ -126,7 +126,8 @@ def run_pipeline(cfg: PipelineConfig, output_dir: Optional[str] = None,
     if cfg.plot_genes:
         try:
             from degnorm_tpu.report.data_access import get_coverage_plots
-            wanted = [g for g in cfg.plot_genes if g in set(result.genes)]
+            gene_set = set(result.genes)
+            wanted = [g for g in cfg.plot_genes if g in gene_set]
             if wanted:
                 get_coverage_plots(wanted, degnorm_dir=output_dir,
                                    save_dir=output_dir)

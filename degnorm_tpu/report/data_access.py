@@ -62,6 +62,11 @@ class CoverageLoader:
                                  f"coverage_matrices_{chrom}.pkl")
             est_f = os.path.join(self.data_dir, str(chrom),
                                  f"estimated_coverage_matrices_{chrom}.pkl")
+            if not os.path.exists(est_f):
+                # estimates exist only for genes that reached NMF; a
+                # chromosome whose genes were ALL filtered out (minimax
+                # coverage / length) has metadata but no estimate pickle
+                continue
             with open(raw_f, "rb") as fr, open(est_f, "rb") as fe:
                 raw = {k.upper(): v for k, v in pickle.load(fr).items()}
                 est = {k.upper(): v for k, v in pickle.load(fe).items()}
@@ -69,6 +74,13 @@ class CoverageLoader:
                 if gene in raw and gene in est:
                     self.cov_dict[gene] = {"raw": raw[gene],
                                            "estimate": est[gene]}
+        if not all_genes:
+            no_cov = [g for g in self.genes if g not in self.cov_dict]
+            if no_cov:
+                raise ValueError(
+                    f"genes {sorted(no_cov)} have no estimated coverage in "
+                    "this run (filtered out before NMF — see the pipeline's "
+                    "minimax-coverage / length filters)")
         return self
 
 

@@ -92,5 +92,7 @@ def test_pipeline_on_reference_annotation(tmp_path):
     cov_mats = [np.asarray(cov_pkl[g], float) for g in di.gene]
     gold = oracle.degnorm_fit(cov_mats, X,
                               NMFConfig(nmf_iter=5, degnorm_iter=2))
+    # f32 production path vs f64 oracle: the documented precision class is
+    # atol 5e-3 (test_engine_f32_tolerance / PARITY.md §5)
     np.testing.assert_allclose(di[sample_cols].values, gold.rho,
-                               rtol=5e-4, atol=1e-5)
+                               rtol=0, atol=5e-3)

@@ -112,3 +112,30 @@ def test_pack_buckets_invariants():
     assert seen == set(range(len(mats)))
     # the 70000-length gene gets an ad-hoc 128-aligned bucket
     assert any(b.width == ((70000 + 127) // 128) * 128 for b in buckets)
+
+
+def test_compat_rejects_no_match_cigar():
+    """Reference parity: a CIGAR with no literal 'M' op raises in compat
+    mode (reads.py:62-64); strict mode treats '='/'X' as match."""
+    import numpy as np
+    import pytest
+    from degnorm_tpu.io.bam import ReadColumns
+    from degnorm_tpu.io.coverage import (check_compat_match_regions,
+                                         read_match_segments)
+    cols = ReadColumns(
+        qnames=np.array(["r0", "r1"], dtype=object),
+        tid=np.zeros(2, np.int32),
+        pos=np.array([10, 50], np.int32),
+        flag=np.zeros(2, np.uint16),
+        rnext=np.full(2, -1, np.int32),
+        nh=np.ones(2, np.int32),
+        # r0: 30M; r1: 30= (no literal M)
+        cigar_ops=np.array([0, 7], np.int8),
+        cigar_lens=np.array([30, 30], np.int32),
+        cigar_offsets=np.array([0, 1, 2], np.int64),
+    )
+    with pytest.raises(ValueError, match="no matching region"):
+        check_compat_match_regions(cols)
+    # strict mode: '=' is a match op, both reads produce segments
+    seg_read, s, e, _ = read_match_segments(cols, compat="strict")
+    assert set(seg_read.tolist()) == {0, 1}
