@@ -44,9 +44,11 @@ def _power_iterate(B: jnp.ndarray, u0: jnp.ndarray, n_iters: int) -> jnp.ndarray
     (ops/pallas_nmf.py::_power): normalize the Gram (PSD ⇒ normalized
     spectral radius in [1, p]), square it once, and apply B² twice per loop
     body without intermediate normalization — four plain power steps per
-    body with a ~2x shorter sequential chain.  Keeps the previous iterate
-    when the update collapses (all-zero B), so a zero gene degrades to s=0
-    instead of NaN.
+    body with a ~2x shorter sequential chain.  ``n_iters`` is therefore
+    EFFECTIVELY rounded to 4 * max(1, n_iters // 4) plain steps (e.g. 6 ->
+    4, 30 -> 28, 2 -> 4); callers tune counts in multiples of 4.  Keeps the
+    previous iterate when the update collapses (all-zero B), so a zero gene
+    degrades to s=0 instead of NaN.
     """
     bmax = jnp.max(jnp.abs(B), axis=(1, 2), keepdims=True)
     Bn = B / (bmax + _EPS)

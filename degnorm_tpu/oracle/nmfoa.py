@@ -59,6 +59,10 @@ def nmf_oa(x: np.ndarray, nmf_iter: int) -> Tuple[np.ndarray, np.ndarray]:
     at zero.  Returns the final (K, E) factors, possibly signed.
     """
     k, e = rank_one(x)
+    if nmf_iter <= 0:
+        # reference: c = 1/np.sqrt(0) -> inf with a RuntimeWarning, loop
+        # skipped — the plain rank-1 factors come back
+        return k, e
     est = k @ e
     lam = np.zeros_like(x)
     step = 1.0 / math.sqrt(nmf_iter)

@@ -56,9 +56,10 @@ for mode, wp in COMBOS:
         continue
     if ref is None:
         ref = (K2, E2)
+        ref_name = f"{mode} wp={wp}"
         continue
     Kv, Ev = ref
     relK = np.abs(K2-Kv)/(np.abs(Kv)+1e-6)
     relE = np.abs(E2-Ev)/(np.abs(Ev)+1e-3)
-    print(f"   vs vpu: K maxrel {relK.max():.2e}  E maxrel {relE.max():.2e}",
-          flush=True)
+    print(f"   vs {ref_name}: K maxrel {relK.max():.2e}  "
+          f"E maxrel {relE.max():.2e}", flush=True)

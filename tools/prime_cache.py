@@ -18,13 +18,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench_shapes(n_genes, p, widths=(1024, 4096)):
-    """Replicate bench.py's dataset bucketing to predict kernel shapes
-    (one quantized batch per width at current engine defaults)."""
-    import numpy as np
+    """Predict bench.py's kernel shapes from its OWN length distribution
+    (one quantized batch per width at current engine defaults).  Defaults
+    match bench.py's defaults (BENCH_GENES=20480) so the documented
+    `--bench-shapes` invocation primes exactly the shapes bench needs."""
     from degnorm_tpu.data.buckets import _quantize_count
-    rng = np.random.default_rng(7)
-    lengths = np.clip((rng.pareto(1.7, n_genes) + 1) * 220, 200, 4000
-                      ).astype(int)
+    from bench import synth_lengths    # single source of the distribution
+    lengths = synth_lengths(n_genes)
     shapes = []
     for w in widths:
         lo = 0 if w == min(widths) else max(x for x in widths if x < w)
@@ -39,7 +39,7 @@ def main():
     ap.add_argument("shapes", nargs="*", help="G,p,W triples")
     ap.add_argument("--bench-shapes", action="store_true")
     ap.add_argument("--genes", type=int,
-                    default=int(os.environ.get("BENCH_GENES", 2048)))
+                    default=int(os.environ.get("BENCH_GENES", 20480)))
     ap.add_argument("--samples", type=int,
                     default=int(os.environ.get("BENCH_SAMPLES", 8)))
     ap.add_argument("--nmf-iter", type=int,
