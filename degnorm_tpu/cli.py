@@ -22,7 +22,8 @@ def build_parser() -> argparse.ArgumentParser:
         prog="degnorm-tpu",
         description="TPU-native RNA-seq degradation normalization (DegNorm)")
     p.add_argument("--bam-files", nargs="+", default=None,
-                   help="aligned read files (.bam)")
+                   help="aligned read files (.bam or .cram; CRAM decodes "
+                        "without a reference FASTA)")
     p.add_argument("--bai-files", nargs="+", default=None,
                    help=".bam index files (optional — the streaming reader "
                         "does not require them; accepted for compatibility)")
@@ -91,11 +92,12 @@ def parse_config(argv: Optional[List[str]] = None,
 
     bam_files = list(args.bam_files or [])
     if args.bam_dir:
-        bam_files.extend(sorted(glob.glob(
-            os.path.join(args.bam_dir, "*.bam"))))
+        bam_files.extend(sorted(
+            glob.glob(os.path.join(args.bam_dir, "*.bam"))
+            + glob.glob(os.path.join(args.bam_dir, "*.cram"))))
     if not args.warm_start_dir:
         if not bam_files:
-            raise SystemExit("no .bam files supplied "
+            raise SystemExit("no .bam/.cram files supplied "
                              "(--bam-files / --bam-dir / --warm-start-dir)")
         if len(bam_files) < 2:
             raise SystemExit("DegNorm requires >= 2 RNA-seq samples")
@@ -103,7 +105,7 @@ def parse_config(argv: Optional[List[str]] = None,
             raise SystemExit("a genome annotation .gtf is required (-g)")
         missing = [b for b in bam_files if not os.path.isfile(b)]
         if missing:
-            raise SystemExit(f"missing .bam files: {missing}")
+            raise SystemExit(f"missing .bam/.cram files: {missing}")
 
     nmf = NMFConfig(
         degnorm_iter=args.degnorm_iter, nmf_iter=args.nmf_iter,

@@ -110,6 +110,19 @@ def write_sample_bam(path: str, genes: Sequence[SimGene], chrom_len: int,
     bamio.write_bam(path, [chrom], [chrom_len], recs)
 
 
+def write_sample_cram(path: str, genes: Sequence[SimGene], chrom_len: int,
+                      seed: int = 0, compression: str = "rans",
+                      **kwargs) -> None:
+    """CRAM twin of write_sample_bam — identical record stream through
+    io/cram.py (same seed => same reads as the .bam form)."""
+    from degnorm_tpu.io import cram as cramio
+    rng = np.random.default_rng(seed)
+    chrom = genes[0].chrom
+    recs = simulate_sample(rng, genes, chrom_len, **kwargs)
+    cramio.write_cram(path, [chrom], [chrom_len], recs,
+                      compression=compression)
+
+
 def write_multichrom_bam(path: str, genes_by_chrom, chrom_lens,
                          seed: int = 0, **kwargs) -> None:
     """Multi-chromosome BAM: genes_by_chrom is {chrom: [SimGene...]},

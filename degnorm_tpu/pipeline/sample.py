@@ -19,8 +19,13 @@ log = logging.getLogger("degnorm_tpu")
 
 
 class BamSampleProcessor:
-    """Loads one .bam, sniffs pairedness, and computes per-chromosome
-    coverage + read counts."""
+    """Loads one .bam or .cram, sniffs pairedness, and computes
+    per-chromosome coverage + read counts.
+
+    CRAM input is a completeness extension over the reference (which only
+    accepts .bam through pysam, ``loaders.py:44-70``): files ending in
+    .cram decode through io/cram.py — whole-file, reference-FASTA-free —
+    and flow into the identical columnar coverage path."""
 
     #: default whole-file decode threshold for auto streaming (bytes).
     STREAM_THRESHOLD = 512 << 20
@@ -41,6 +46,21 @@ class BamSampleProcessor:
         self.output_dir = output_dir
         self.save_dir = (os.path.join(output_dir, self.sample_id)
                          if output_dir else None)
+        self.is_cram = bam_file.lower().endswith(".cram")
+
+        if self.is_cram:
+            from degnorm_tpu.io import cram as cramio
+            self.bai_file = None
+            self.stream = False
+            self._bai_index = None
+            self.header = cramio.read_cram_header(bam_file)
+            names = self.header.ref_names
+            if chroms is not None:
+                names = [c for c in names if c in set(chroms)]
+            self.chroms = names
+            self._cols_by_tid: Dict[int, bamio.ReadColumns] = {}
+            self.paired = self._sniff_paired()
+            return
 
         if bai_file is None:
             for cand in (bam_file + ".bai",
@@ -73,7 +93,11 @@ class BamSampleProcessor:
 
     def _load_all(self):
         if not self._cols_by_tid:
-            _, cols = bamio.read_bam(self.filename)
+            if self.is_cram:
+                from degnorm_tpu.io import cram as cramio
+                _, cols = cramio.read_cram(self.filename)
+            else:
+                _, cols = bamio.read_bam(self.filename)
             for t in np.unique(cols.tid):
                 self._cols_by_tid[int(t)] = _subset_cols(cols, cols.tid == t)
 

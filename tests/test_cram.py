@@ -1,0 +1,438 @@
+"""CRAM 3.0 reader/writer and rANS codec tests.
+
+The reference supports only .bam input (``loaders.py:44-70``); CRAM is a
+completeness extension (io/cram.py).  htslib/pysam are not installable in
+this environment, so — as with the stripped reference BAM blobs
+(SURVEY.md §4) — fixtures are synthesized in-repo and the decoder is
+validated against the independently-tested BAM path on identical record
+streams, plus spec-level unit tests of each encoding and codec.
+"""
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from degnorm_tpu.io import bam as bamio
+from degnorm_tpu.io import cram as cramio
+from degnorm_tpu.io import rans
+from degnorm_tpu.io.simulate import (make_genes, simulate_sample,
+                                     write_gtf, write_sample_bam,
+                                     write_sample_cram)
+
+CHROM_LEN = 80_000
+
+
+# ---------------------------------------------------------------------------
+# rANS 4x8 codec
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("order", [0, 1])
+def test_rans_roundtrip_distributions(order):
+    rng = np.random.default_rng(0)
+    cases = [
+        b"", b"x", b"ab", b"abc",
+        b"\x00" * 1000,
+        bytes(rng.integers(0, 256, 4096, dtype=np.uint8)),      # uniform
+        bytes(rng.integers(65, 68, 9999, dtype=np.uint8)),      # tiny alpha
+        bytes((rng.pareto(0.5, 5000) % 256).astype(np.uint8)),  # skewed
+        bytes(np.arange(256, dtype=np.uint8)) * 3,              # all symbols
+        bytes(range(250, 256)) * 11,                            # top RLE run
+    ]
+    for data in cases:
+        assert rans.uncompress(rans.compress(data, order=order)) == data
+
+
+def test_rans_compresses_skewed_data():
+    data = bytes(np.random.default_rng(1).integers(97, 100, 20000,
+                                                   dtype=np.uint8))
+    assert len(rans.compress(data, order=0)) < len(data) // 2
+    assert len(rans.compress(data, order=1)) < len(data) // 2
+
+
+def test_rans_fuzz_roundtrip():
+    rng = np.random.default_rng(7)
+    for _ in range(40):
+        n = int(rng.integers(0, 3000))
+        k = int(rng.integers(1, 256))
+        data = bytes(rng.integers(0, k, n, dtype=np.uint8))
+        for order in (0, 1):
+            assert rans.uncompress(rans.compress(data, order=order)) == data
+
+
+def test_rans_truncation_detected():
+    enc = rans.compress(b"hello world" * 50, order=0)
+    with pytest.raises(ValueError):
+        rans.uncompress(enc[:8])
+    # body shorter than the declared compressed size
+    with pytest.raises(ValueError):
+        rans.uncompress(enc[:-10])
+
+
+# ---------------------------------------------------------------------------
+# varints
+# ---------------------------------------------------------------------------
+
+def test_itf8_roundtrip():
+    vals = [0, 1, 127, 128, 5000, 1 << 13, (1 << 14) - 1, 1 << 14,
+            (1 << 21) - 1, 1 << 21, (1 << 28) - 1, 1 << 28,
+            (1 << 31) - 1, -1, -2, -(1 << 31), 4_542_278]
+    for v in vals:
+        buf = bytearray()
+        cramio.write_itf8(buf, v)
+        got, off = cramio.read_itf8(bytes(buf), 0)
+        assert got == v and off == len(buf), v
+
+
+def test_ltf8_roundtrip():
+    vals = [0, 1, 127, 128, (1 << 14) - 1, 1 << 20, 1 << 31, 1 << 40,
+            1 << 50, (1 << 63) - 1, -1]
+    for v in vals:
+        buf = bytearray()
+        cramio.write_ltf8(buf, v)
+        got, off = cramio.read_ltf8(bytes(buf), 0)
+        assert got == v and off == len(buf), v
+
+
+# ---------------------------------------------------------------------------
+# encodings (spec-level units with hand-built core/external data)
+# ---------------------------------------------------------------------------
+
+def _make_encoding(codec, params_builder):
+    p = bytearray()
+    params_builder(p)
+    return cramio.Encoding(codec, bytes(p))
+
+
+def test_huffman_multi_symbol():
+    # canonical code over symbols 5,6,7 with lengths 1,2,2:
+    # sorted (len, sym): 5->0, 6->10, 7->11
+    def build(p):
+        cramio.write_itf8(p, 3)
+        for s in (5, 6, 7):
+            cramio.write_itf8(p, s)
+        cramio.write_itf8(p, 3)
+        for ln in (1, 2, 2):
+            cramio.write_itf8(p, ln)
+    enc = _make_encoding(cramio.E_HUFFMAN, build)
+    bw = cramio.BitWriter()
+    for bits, n in [(0b0, 1), (0b10, 2), (0b11, 2), (0b0, 1), (0b11, 2)]:
+        bw.write(bits, n)
+    core = cramio.BitReader(bw.getvalue())
+    out = [enc.read_int(core, {}) for _ in range(5)]
+    assert out == [5, 6, 7, 5, 7]
+
+
+def test_huffman_constant_reads_no_bits():
+    def build(p):
+        cramio.write_itf8(p, 1)
+        cramio.write_itf8(p, -1)
+        cramio.write_itf8(p, 1)
+        cramio.write_itf8(p, 0)
+    enc = _make_encoding(cramio.E_HUFFMAN, build)
+    core = cramio.BitReader(b"")        # empty core: zero bits consumed
+    assert [enc.read_int(core, {}) for _ in range(3)] == [-1, -1, -1]
+    assert core.pos == 0
+
+
+def test_beta_encoding():
+    def build(p):
+        cramio.write_itf8(p, 10)        # offset
+        cramio.write_itf8(p, 6)         # bits
+    enc = _make_encoding(cramio.E_BETA, build)
+    bw = cramio.BitWriter()
+    for v in (12, 0, 63):
+        bw.write(v, 6)
+    core = cramio.BitReader(bw.getvalue())
+    assert [enc.read_int(core, {}) for _ in range(3)] == [2, -10, 53]
+
+
+def test_gamma_encoding():
+    def build(p):
+        cramio.write_itf8(p, 0)
+    enc = _make_encoding(cramio.E_GAMMA, build)
+    bw = cramio.BitWriter()
+    # Elias gamma: 1 -> "1"; 2 -> "010"; 5 -> "00101"
+    bw.write(0b1, 1)
+    bw.write(0b010, 3)
+    bw.write(0b00101, 5)
+    core = cramio.BitReader(bw.getvalue())
+    assert [enc.read_int(core, {}) for _ in range(3)] == [1, 2, 5]
+
+
+def test_byte_array_len_with_huffman_const_length():
+    def build(p):
+        inner = bytearray()
+        # length: huffman constant 4
+        lp = bytearray()
+        cramio.write_itf8(lp, 1)
+        cramio.write_itf8(lp, 4)
+        cramio.write_itf8(lp, 1)
+        cramio.write_itf8(lp, 0)
+        cramio._write_encoding(inner, cramio.E_HUFFMAN, bytes(lp))
+        # values: external block 9
+        vp = bytearray()
+        cramio.write_itf8(vp, 9)
+        cramio._write_encoding(inner, cramio.E_EXTERNAL, bytes(vp))
+        p += inner
+    enc = _make_encoding(cramio.E_BYTE_ARRAY_LEN, build)
+    ext = {9: cramio._Ext(b"abcdWXYZ")}
+    core = cramio.BitReader(b"")
+    assert enc.read_array(core, ext) == b"abcd"
+    assert enc.read_array(core, ext) == b"WXYZ"
+
+
+def test_unsupported_encoding_rejected():
+    with pytest.raises(ValueError, match="GOLOMB"):
+        cramio.Encoding(cramio.E_GOLOMB, b"\x00\x00")
+
+
+# ---------------------------------------------------------------------------
+# file roundtrip vs the BAM path
+# ---------------------------------------------------------------------------
+
+_RECS = [
+    ("r1.1", 0, 100, 0x1 | 0x40, "50M", 0, 2),
+    ("r1.2", 0, 200, 0x1 | 0x80, "10S40M", 0, 2),
+    ("lone", 0, 300, 0x0, "20M100N30M", -1, 1),
+    ("clip", 1, 50, 0x0, "5H25M3D10M2S", -1, 1),
+    ("ins", 0, 400, 0x0, "10M2I38M", -1, None),
+    ("plain", 1, 500, 0x0, "60M", -1, 4),
+]
+_REFS, _LENS = ["chr1", "chr2"], [10_000, 20_000]
+
+
+def _bam_cols(tmp_path):
+    bp = str(tmp_path / "t.bam")
+    bamio.write_bam(bp, _REFS, _LENS, _RECS)
+    return bamio.read_bam(bp, native=False)[1]
+
+
+@pytest.mark.parametrize("compression", ["raw", "gzip", "rans"])
+def test_cram_matches_bam_columns(tmp_path, compression):
+    bc = _bam_cols(tmp_path)
+    cp = str(tmp_path / "t.cram")
+    cramio.write_cram(cp, _REFS, _LENS, _RECS, compression=compression)
+    hdr, cc = cramio.read_cram(cp)
+    assert hdr.ref_names == _REFS and hdr.ref_lengths == _LENS
+    assert list(cc.qnames) == list(bc.qnames)
+    for f in ("tid", "pos", "flag", "rnext", "nh",
+              "cigar_ops", "cigar_lens", "cigar_offsets"):
+        assert np.array_equal(getattr(cc, f), getattr(bc, f)), f
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(preserve_names=False),
+    dict(ap_delta=False),
+    dict(records_per_slice=2),          # multi-slice, multi-container
+    dict(link_mates=True),
+])
+def test_cram_variants_match_bam(tmp_path, kwargs):
+    bc = _bam_cols(tmp_path)
+    cp = str(tmp_path / "v.cram")
+    cramio.write_cram(cp, _REFS, _LENS, _RECS, **kwargs)
+    _, cc = cramio.read_cram(cp)
+    for f in ("tid", "pos", "nh", "cigar_ops", "cigar_lens",
+              "cigar_offsets"):
+        assert np.array_equal(getattr(cc, f), getattr(bc, f)), f
+    if kwargs.get("preserve_names", True):
+        assert list(cc.qnames) == list(bc.qnames)
+    else:
+        # generated names must still pair identically-named mates
+        assert len(set(cc.qnames)) == len(cc.qnames)
+    if not kwargs.get("link_mates"):
+        assert np.array_equal(cc.flag, bc.flag)
+        assert np.array_equal(cc.rnext, bc.rnext)
+    else:
+        # linked mates reconstruct rnext from each other within the slice
+        assert np.array_equal(cc.rnext, bc.rnext)
+
+
+def test_cram_linked_mates_share_generated_names(tmp_path):
+    # real-world SAM convention: both mates share one QNAME — that is
+    # what link_mates keys on (the reference's '.1'/'.2' suffix scheme in
+    # _RECS stays detached, reads.py:184-203 sniff semantics)
+    recs = [
+        ("pair", 0, 100, 0x1 | 0x40, "50M", 0, 1),
+        ("pair", 0, 180, 0x1 | 0x80 | 0x10, "50M", 0, 1),
+        ("solo", 0, 300, 0x0, "40M", -1, 1),
+    ]
+    cp = str(tmp_path / "lm.cram")
+    cramio.write_cram(cp, _REFS, _LENS, recs, preserve_names=False,
+                      link_mates=True)
+    _, cc = cramio.read_cram(cp)
+    # linked pair shares one generated name; the solo read gets its own
+    assert cc.qnames[0] == cc.qnames[1]
+    assert cc.qnames[2] != cc.qnames[0]
+    # NF mate resolution reconstructs rnext and the mate flags
+    assert cc.rnext[0] == 0 and cc.rnext[1] == 0
+    assert cc.flag[0] & 0x20            # mate reverse, from mate's 0x10
+    assert not (cc.flag[1] & 0x20)
+
+
+def test_cram_link_mates_nf_path_exercised(tmp_path):
+    """With shared qnames and link_mates, the writer must actually emit
+    NF-linked records (guards against silently falling back to detached)."""
+    recs = [("q1", 0, 10, 0x1, "30M", 0, 1),
+            ("q1", 0, 90, 0x1, "30M", 0, 1)]
+    cp = str(tmp_path / "nf.cram")
+    cramio.write_cram(cp, _REFS, _LENS, recs, link_mates=True)
+    blob = open(cp, "rb").read()
+    # decode succeeds and the NS series (detached-only) stays empty:
+    _, cc = cramio.read_cram(cp)
+    assert list(cc.qnames) == ["q1", "q1"]
+    assert np.array_equal(cc.rnext, [0, 0])
+    assert b"NS" not in _used_series_keys(blob)
+
+
+def _used_series_keys(blob):
+    """Data-series keys with a non-empty external block in the first data
+    container (writer emits one block per non-empty series)."""
+    off = cramio._check_magic(blob)
+    _, off, _ = cramio._read_file_header(blob, off)
+    ch, off = cramio.read_container_header(blob, off)
+    blk, off = cramio.read_block(blob, off)
+    comp = cramio.read_compression_header(blk.data)
+    sh_blk, off = cramio.read_block(blob, off)
+    sh = cramio.read_slice_header(sh_blk.data)
+    present = set()
+    ids = set(sh.content_ids)
+    for key, enc in comp.ds.items():
+        cid = getattr(enc, "cid", None)
+        if cid is not None and cid in ids:
+            present.add(key.encode())
+    return present
+
+
+def test_cram_simulated_sample_matches_bam(tmp_path):
+    rng = np.random.default_rng(3)
+    genes = make_genes(rng, n_genes=6, overlap_fraction=0.3)
+    bp, cp = str(tmp_path / "s.bam"), str(tmp_path / "s.cram")
+    for paired in (False, True):
+        write_sample_bam(bp, genes, CHROM_LEN, seed=11, paired=paired,
+                         mean_reads_per_gene=80, degradation=0.4)
+        write_sample_cram(cp, genes, CHROM_LEN, seed=11, paired=paired,
+                          mean_reads_per_gene=80, degradation=0.4)
+        _, bc = bamio.read_bam(bp, native=False)
+        _, cc = cramio.read_cram(cp)
+        assert list(cc.qnames) == list(bc.qnames)
+        for f in ("tid", "pos", "flag", "rnext", "nh",
+                  "cigar_ops", "cigar_lens", "cigar_offsets"):
+            assert np.array_equal(getattr(cc, f), getattr(bc, f)), \
+                (paired, f)
+
+
+def test_cram_unmapped_and_tid_filters(tmp_path):
+    recs = _RECS + [("un", 0, 600, 0x4, "", -1, None)]
+    cp = str(tmp_path / "u.cram")
+    cramio.write_cram(cp, _REFS, _LENS, recs)
+    _, all_cols = cramio.read_cram(cp, drop_unmapped=False)
+    assert len(all_cols) == len(recs)
+    _, mapped = cramio.read_cram(cp)
+    assert len(mapped) == len(_RECS)
+    _, chr2 = cramio.read_cram(cp, tid=1)
+    assert set(chr2.tid.tolist()) == {1} and len(chr2) == 2
+
+
+def test_cram_error_paths(tmp_path):
+    p = str(tmp_path / "bad.cram")
+    with open(p, "wb") as f:
+        f.write(b"BAMX" + b"\x00" * 30)
+    with pytest.raises(ValueError, match="magic"):
+        cramio.read_cram(p)
+    with open(p, "wb") as f:
+        f.write(b"CRAM" + bytes([3, 1]) + b"\x00" * 20)
+    with pytest.raises((ValueError, IndexError, struct.error)):
+        cramio.read_cram(p)          # truncated after the file definition
+    # CRAM 3.1-only codec id in a block
+    with pytest.raises(ValueError, match="3.1"):
+        cramio._uncompress_block(b"xx", 5, 2)
+    # corrupted block payload -> CRC32 mismatch (mid-file lands inside a
+    # data block; block CRCs are verified before decompression)
+    cp = str(tmp_path / "ok.cram")
+    cramio.write_cram(cp, _REFS, _LENS, _RECS)
+    blob = bytearray(open(cp, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    with open(cp, "wb") as f:
+        f.write(bytes(blob))
+    with pytest.raises(ValueError, match="CRC32"):
+        cramio.read_cram(cp)
+
+
+def test_cram_major_version_gate(tmp_path):
+    p = str(tmp_path / "v2.cram")
+    with open(p, "wb") as f:
+        f.write(b"CRAM" + bytes([2, 1]) + b"\x00" * 20)
+    with pytest.raises(ValueError, match="major version 2"):
+        cramio.read_cram(p)
+
+
+# ---------------------------------------------------------------------------
+# pipeline integration
+# ---------------------------------------------------------------------------
+
+def test_sample_processor_cram_matches_bam(tmp_path):
+    """BamSampleProcessor on a .cram must produce byte-identical coverage
+    and read counts to the .bam of the same simulated reads."""
+    from degnorm_tpu.io.gtf import process_annotation
+    from degnorm_tpu.io.overlap import overlap_structure
+    from degnorm_tpu.pipeline.sample import BamSampleProcessor
+
+    rng = np.random.default_rng(5)
+    genes = make_genes(rng, n_genes=6, overlap_fraction=0.3)
+    gtf = str(tmp_path / "g.gtf")
+    write_gtf(gtf, genes)
+    bp, cp = str(tmp_path / "s.bam"), str(tmp_path / "s.cram")
+    write_sample_bam(bp, genes, CHROM_LEN, seed=21, paired=True,
+                     mean_reads_per_gene=100, degradation=0.3)
+    write_sample_cram(cp, genes, CHROM_LEN, seed=21, paired=True,
+                      mean_reads_per_gene=100, degradation=0.3)
+
+    exon_df = process_annotation(gtf)
+    gene_df = exon_df[["chr", "gene", "gene_start", "gene_end"]
+                      ].drop_duplicates().reset_index(drop=True)
+    ov = {"chr1": overlap_structure(gene_df[gene_df.chr == "chr1"])}
+
+    out = {}
+    for path in (bp, cp):
+        proc = BamSampleProcessor(path)
+        assert proc.paired
+        out[path] = proc.coverage_read_counts(ov, gene_df, exon_df)
+    cb, cc = out[bp]["chr1"], out[cp]["chr1"]
+    assert cb.read_counts == cc.read_counts
+    if cb.isolated_coverage is not None:
+        assert np.array_equal(cb.isolated_coverage, cc.isolated_coverage)
+    assert set(cb.overlap_coverage) == set(cc.overlap_coverage)
+    for g in cb.overlap_coverage:
+        assert np.array_equal(cb.overlap_coverage[g],
+                              cc.overlap_coverage[g])
+
+
+def test_pipeline_cli_accepts_cram(tmp_path):
+    """Full CLI run on .cram inputs (reference test_zzz_pipeline.py shape,
+    with the format the reference cannot read)."""
+    from degnorm_tpu.cli import main
+
+    rng = np.random.default_rng(42)
+    genes = make_genes(rng, n_genes=6, overlap_fraction=0.2)
+    gtf = str(tmp_path / "sim.gtf")
+    write_gtf(gtf, genes)
+    crams = []
+    for i, deg in enumerate((0.0, 0.5)):
+        cpath = str(tmp_path / f"sample{i}.cram")
+        write_sample_cram(cpath, genes, CHROM_LEN, seed=100 + i,
+                          mean_reads_per_gene=100, degradation=deg)
+        crams.append(cpath)
+    out_base = str(tmp_path / "out")
+    os.makedirs(out_base)
+    rc = main(["--bam-files", *crams, "-g", gtf, "-o", out_base,
+               "--nmf-iter", "5", "--iter", "2"])
+    assert rc == 0
+    runs = [p for p in os.listdir(out_base) if p.startswith("degnorm_")]
+    assert len(runs) == 1
+    import pandas as pd
+    di = pd.read_csv(os.path.join(out_base, runs[0],
+                                  "degradation_index_scores.csv"))
+    assert {"sample0", "sample1"} <= set(di.columns)
+    vals = di[["sample0", "sample1"]].values
+    assert np.isfinite(vals).all() and (vals >= 0).all()
