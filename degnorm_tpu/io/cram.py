@@ -787,10 +787,6 @@ def _decode_features(ch, core, ext, rint, rbyte, rarray, rl: int,
             raise ValueError(f"unknown CRAM feature code {fc!r}")
     if read_pos <= rl:
         add("M", rl - read_pos + 1)
-    # trailing hard clip must stay last: re-append if a trailing M was
-    # added after an H feature at the read end
-    if len(ops) >= 2 and ops[-2][0] == _OP_INDEX["H"]:
-        ops[-2], ops[-1] = ops[-1], ops[-2]
     return ops
 
 

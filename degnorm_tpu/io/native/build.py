@@ -17,6 +17,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "bam_reader.cpp")
 _SRC_COV = os.path.join(_DIR, "coverage_kernel.cpp")
 _SRC_PACK = os.path.join(_DIR, "pack_kernel.cpp")
+_SRC_RANS = os.path.join(_DIR, "rans_kernel.cpp")
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _FAILED = False
@@ -47,7 +48,7 @@ class DnBamData(ctypes.Structure):
 
 def _so_path() -> str:
     h = hashlib.sha256()
-    for src in (_SRC, _SRC_COV, _SRC_PACK):
+    for src in (_SRC, _SRC_COV, _SRC_PACK, _SRC_RANS):
         with open(src, "rb") as f:
             h.update(f.read())
     return os.path.join(_DIR, f"libdnbam_{h.hexdigest()[:12]}.so")
@@ -74,7 +75,7 @@ def load_library() -> Optional[ctypes.CDLL]:
         def build() -> bool:
             cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
                    "-std=c++17", "-pthread", _SRC, _SRC_COV, _SRC_PACK,
-                   "-o", so + ".tmp", "-lz"]
+                   _SRC_RANS, "-o", so + ".tmp", "-lz"]
             try:
                 subprocess.run(cmd, check=True, capture_output=True,
                                timeout=120)
@@ -149,6 +150,9 @@ def load_library() -> Optional[ctypes.CDLL]:
             lib.dn_nib_encode.argtypes = [
                 i16, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 i16, u8, i64, i32, ctypes.c_int64, ctypes.c_int]
+            lib.dn_rans_uncompress.restype = ctypes.c_int64
+            lib.dn_rans_uncompress.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, u8, ctypes.c_int64]
             _LIB = lib
         except OSError:
             _FAILED = True

@@ -16,8 +16,9 @@ and via roundtrip/fuzz tests (tests/test_cram.py).
 """
 from __future__ import annotations
 
+import ctypes
 import struct
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -99,6 +100,9 @@ def _read_freqs_rle(buf: bytes, off: int) -> Tuple[np.ndarray, int]:
         last = j
         if rle:
             j = j + 1
+            if j > 255:
+                raise ValueError("rANS frequency-table run escapes the "
+                                 "symbol alphabet")
         else:
             if off >= len(buf):
                 raise ValueError("truncated rANS frequency table")
@@ -128,6 +132,9 @@ def _read_freqs_rle_outer(buf: bytes, off: int):
         last = i
         if rle:
             i = i + 1
+            if i > 255:
+                raise ValueError("rANS O1 context run escapes the "
+                                 "symbol alphabet")
         else:
             if off >= len(buf):
                 raise ValueError("truncated rANS O1 frequency table")
@@ -343,7 +350,7 @@ def compress(data: bytes, order: int = 0) -> bytes:
             + body)
 
 
-def uncompress(payload: bytes) -> bytes:
+def uncompress(payload: bytes, *, native: Optional[bool] = None) -> bytes:
     if len(payload) < 9:
         raise ValueError("rANS payload shorter than its 9-byte header")
     order = payload[0]
@@ -353,8 +360,34 @@ def uncompress(payload: bytes) -> bytes:
         raise ValueError("rANS payload truncated")
     if out_sz == 0:
         return b""
-    if order == 0:
-        return _uncompress_o0(body, out_sz)
-    if order == 1:
-        return _uncompress_o1(body, out_sz)
+    if native is None:
+        import os as _os
+        native = _os.environ.get("DEGNORM_TPU_NO_NATIVE", "0") != "1"
+    if native and order in (0, 1):
+        out = _uncompress_native(payload, out_sz)
+        if out is not None:
+            return out
+    try:
+        if order == 0:
+            return _uncompress_o0(body, out_sz)
+        if order == 1:
+            return _uncompress_o1(body, out_sz)
+    except IndexError:
+        raise ValueError("truncated or corrupt rANS stream") from None
     raise ValueError(f"unknown rANS order {order}")
+
+
+def _uncompress_native(payload: bytes, out_sz: int) -> Optional[bytes]:
+    """C++ fast path (io/native/rans_kernel.cpp); None when the toolchain
+    is unavailable.  A corrupt stream raises, as the Python path would —
+    falling back would just decode the same corruption slowly."""
+    from degnorm_tpu.io.native.build import get_fn
+    fn = get_fn("dn_rans_uncompress")
+    if fn is None:
+        return None
+    out = np.empty(out_sz, dtype=np.uint8)
+    n = fn(payload, len(payload),
+           out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_sz)
+    if n != out_sz:
+        raise ValueError("corrupt or truncated rANS stream (native decode)")
+    return out.tobytes()

@@ -60,6 +60,36 @@ def test_rans_fuzz_roundtrip():
             assert rans.uncompress(rans.compress(data, order=order)) == data
 
 
+def test_rans_native_matches_python():
+    """C++ decoder (io/native/rans_kernel.cpp) is byte-identical to the
+    Python reference on valid streams AND agrees (same bytes or both
+    erroring) on corrupted ones.  Skips when no toolchain built the
+    native library."""
+    from degnorm_tpu.io.native.build import get_fn
+    if get_fn("dn_rans_uncompress") is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(13)
+    for t in range(30):
+        n = int(rng.integers(0, 4000))
+        k = int(rng.integers(1, 256))
+        data = bytes(rng.integers(0, k, n, dtype=np.uint8))
+        order = t % 2
+        enc = rans.compress(data, order=order)
+        assert rans.uncompress(enc, native=True) == data
+        assert rans.uncompress(enc, native=False) == data
+        if len(enc) > 25:
+            bad = bytearray(enc)
+            bad[int(rng.integers(20, len(bad)))] ^= int(
+                rng.integers(1, 256))
+
+            def run(native):
+                try:
+                    return rans.uncompress(bytes(bad), native=native)
+                except ValueError:
+                    return ("ERR",)
+            assert run(True) == run(False)
+
+
 def test_rans_truncation_detected():
     enc = rans.compress(b"hello world" * 50, order=0)
     with pytest.raises(ValueError):
@@ -365,6 +395,68 @@ def test_cram_major_version_gate(tmp_path):
         f.write(b"CRAM" + bytes([2, 1]) + b"\x00" * 20)
     with pytest.raises(ValueError, match="major version 2"):
         cramio.read_cram(p)
+
+
+def _random_records(rng, n):
+    """Random-but-valid record tuples: mixed chromosomes, occasional
+    unmapped reads, random CIGARs over M/I/D/N/S/H/P."""
+    recs = []
+    for i in range(n):
+        tid = int(rng.integers(0, 2))
+        pos = int(rng.integers(0, 5000))
+        if rng.random() < 0.08:
+            recs.append((f"u{i}", tid, pos, 0x4, "", -1,
+                         int(rng.integers(1, 4))))
+            continue
+        parts = []
+        if rng.random() < 0.2:
+            parts.append(f"{int(rng.integers(1, 9))}H")
+        if rng.random() < 0.3:
+            parts.append(f"{int(rng.integers(1, 12))}S")
+        parts.append(f"{int(rng.integers(1, 80))}M")
+        for _ in range(int(rng.integers(0, 3))):
+            kind = rng.choice(["I", "D", "N", "P"])
+            parts.append(f"{int(rng.integers(1, 30))}{kind}")
+            parts.append(f"{int(rng.integers(1, 60))}M")
+        if rng.random() < 0.3:
+            parts.append(f"{int(rng.integers(1, 12))}S")
+        if rng.random() < 0.2:
+            parts.append(f"{int(rng.integers(1, 9))}H")
+        paired = rng.random() < 0.4
+        flag = 0x1 if paired else 0x0
+        rnext = tid if paired else -1
+        nh = int(rng.integers(1, 4)) if rng.random() < 0.5 else None
+        if nh is None:
+            recs.append((f"q{i}", tid, pos, flag, "".join(parts), rnext))
+        else:
+            recs.append((f"q{i}", tid, pos, flag, "".join(parts), rnext,
+                         nh))
+    return recs
+
+
+def test_cram_fuzz_random_records(tmp_path):
+    """Randomized roundtrip: arbitrary CIGAR shapes, unmapped reads,
+    mixed-tid (multi-ref) slices, random slice sizes and codecs must all
+    reproduce the BAM path's columns exactly."""
+    rng = np.random.default_rng(99)
+    for trial in range(6):
+        recs = _random_records(rng, int(rng.integers(1, 120)))
+        bp = str(tmp_path / f"f{trial}.bam")
+        cp = str(tmp_path / f"f{trial}.cram")
+        bamio.write_bam(bp, _REFS, _LENS, recs)
+        _, bc = bamio.read_bam(bp, native=False, drop_unmapped=False)
+        cramio.write_cram(
+            cp, _REFS, _LENS, recs,
+            compression=str(rng.choice(["raw", "gzip", "rans"])),
+            preserve_names=bool(rng.random() < 0.8),
+            ap_delta=bool(rng.random() < 0.5),
+            records_per_slice=int(rng.integers(1, 40)))
+        _, cc = cramio.read_cram(cp, drop_unmapped=False)
+        assert len(cc) == len(bc), trial
+        for f in ("tid", "pos", "flag", "rnext", "nh",
+                  "cigar_ops", "cigar_lens", "cigar_offsets"):
+            assert np.array_equal(getattr(cc, f), getattr(bc, f)), \
+                (trial, f)
 
 
 # ---------------------------------------------------------------------------
