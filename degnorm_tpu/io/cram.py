@@ -811,12 +811,18 @@ def _parse_sam_header(text: str) -> Tuple[List[str], List[int]]:
 
 
 def read_cram(path: str, *, tid: Optional[int] = None,
-              drop_unmapped: bool = True
+              drop_unmapped: bool = True,
+              fast: Optional[bool] = None
               ) -> Tuple[BamHeader, ReadColumns]:
-    """Decode a whole CRAM file into columnar arrays (read_bam's shape)."""
+    """Decode a whole CRAM file into columnar arrays (read_bam's shape).
+
+    ``fast``: use the vectorized slice decoder (io/cram_fast.py) where
+    the encoding profile allows; None = auto (on unless
+    DEGNORM_TPU_NO_NATIVE=1).  Semantics are identical either way."""
     with open(path, "rb") as f:
         buf = f.read()
-    return parse_cram_bytes(buf, tid=tid, drop_unmapped=drop_unmapped)
+    return parse_cram_bytes(buf, tid=tid, drop_unmapped=drop_unmapped,
+                            fast=fast)
 
 
 def read_cram_header(path: str) -> BamHeader:
@@ -853,12 +859,16 @@ def _read_file_header(buf, off: int) -> Tuple[BamHeader, int, str]:
 
 
 def parse_cram_bytes(buf: bytes, *, tid: Optional[int] = None,
-                     drop_unmapped: bool = True
+                     drop_unmapped: bool = True,
+                     fast: Optional[bool] = None
                      ) -> Tuple[BamHeader, ReadColumns]:
+    if fast is None:
+        import os as _os
+        fast = _os.environ.get("DEGNORM_TPU_NO_NATIVE", "0") != "1"
     off = _check_magic(buf)
     header, off, _ = _read_file_header(buf, off)
 
-    recs: List[_Rec] = []
+    chunks: List[ReadColumns] = []
     n = len(buf)
     while off < n:
         ch, off = read_container_header(buf, off)
@@ -884,35 +894,82 @@ def parse_cram_bytes(buf: bytes, *, tid: Optional[int] = None,
                     core = BitReader(b.data)
                 elif b.content_type == CT_EXTERNAL:
                     ext[b.content_id] = _Ext(b.data)
-            recs.extend(_decode_slice(comp, sh, core or BitReader(b""),
-                                      ext, "cram."))
-    return header, _recs_to_columns(recs, tid=tid,
-                                    drop_unmapped=drop_unmapped)
+            cols = None
+            if fast:
+                from degnorm_tpu.io.cram_fast import decode_slice_fast
+                cols = decode_slice_fast(comp, sh, core, ext, "cram.")
+            if cols is None:
+                cols = _recs_to_columns(
+                    _decode_slice(comp, sh, core or BitReader(b""),
+                                  ext, "cram."))
+            chunks.append(cols)
+    return header, _filter_columns(_concat_columns(chunks),
+                                   tid=tid, drop_unmapped=drop_unmapped)
 
 
-def _recs_to_columns(recs: List[_Rec], *, tid: Optional[int],
-                     drop_unmapped: bool) -> ReadColumns:
-    keep = [r for r in recs
-            if (tid is None or r.tid == tid)
-            and not (drop_unmapped and (r.bf & FLAG_UNMAPPED))]
+def _recs_to_columns(recs: List[_Rec]) -> ReadColumns:
     ops: List[int] = []
     lens: List[int] = []
     offsets = [0]
-    for r in keep:
+    for r in recs:
         for o, ln in r.cigar:
             ops.append(o)
             lens.append(ln)
         offsets.append(len(ops))
     return ReadColumns(
-        qnames=np.array([r.qname for r in keep], dtype=object),
-        tid=np.array([r.tid for r in keep], np.int32),
-        pos=np.array([r.pos for r in keep], np.int32),
-        flag=np.array([r.bf & 0xFFFF for r in keep], np.uint16),
-        rnext=np.array([r.rnext for r in keep], np.int32),
-        nh=np.array([r.nh for r in keep], np.int32),
+        qnames=np.array([r.qname for r in recs], dtype=object),
+        tid=np.array([r.tid for r in recs], np.int32),
+        pos=np.array([r.pos for r in recs], np.int32),
+        flag=np.array([r.bf & 0xFFFF for r in recs], np.uint16),
+        rnext=np.array([r.rnext for r in recs], np.int32),
+        nh=np.array([r.nh for r in recs], np.int32),
         cigar_ops=np.array(ops, np.int8),
         cigar_lens=np.array(lens, np.int32),
         cigar_offsets=np.array(offsets, np.int64),
+    )
+
+
+def _concat_columns(chunks: List[ReadColumns]) -> ReadColumns:
+    if len(chunks) == 1:
+        return chunks[0]
+    if not chunks:
+        return _recs_to_columns([])
+    offs = [chunks[0].cigar_offsets]
+    for c in chunks[1:]:
+        offs.append(c.cigar_offsets[1:] + offs[-1][-1])
+    return ReadColumns(
+        qnames=np.concatenate([c.qnames for c in chunks]),
+        tid=np.concatenate([c.tid for c in chunks]),
+        pos=np.concatenate([c.pos for c in chunks]),
+        flag=np.concatenate([c.flag for c in chunks]),
+        rnext=np.concatenate([c.rnext for c in chunks]),
+        nh=np.concatenate([c.nh for c in chunks]),
+        cigar_ops=np.concatenate([c.cigar_ops for c in chunks]),
+        cigar_lens=np.concatenate([c.cigar_lens for c in chunks]),
+        cigar_offsets=np.concatenate(offs),
+    )
+
+
+def _filter_columns(cols: ReadColumns, *, tid: Optional[int],
+                    drop_unmapped: bool) -> ReadColumns:
+    mask = np.ones(len(cols), dtype=bool)
+    if tid is not None:
+        mask &= cols.tid == tid
+    if drop_unmapped:
+        mask &= (cols.flag & FLAG_UNMAPPED) == 0
+    if mask.all():
+        return cols
+    idx = np.flatnonzero(mask)
+    counts = np.diff(cols.cigar_offsets)
+    keep_ops = np.repeat(mask, counts)
+    return ReadColumns(
+        qnames=cols.qnames[idx],
+        tid=cols.tid[idx], pos=cols.pos[idx], flag=cols.flag[idx],
+        rnext=cols.rnext[idx], nh=cols.nh[idx],
+        cigar_ops=cols.cigar_ops[keep_ops],
+        cigar_lens=cols.cigar_lens[keep_ops],
+        cigar_offsets=np.concatenate(
+            [[0], np.cumsum(counts[idx])]).astype(np.int64),
     )
 
 

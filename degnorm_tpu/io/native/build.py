@@ -153,6 +153,9 @@ def load_library() -> Optional[ctypes.CDLL]:
             lib.dn_rans_uncompress.restype = ctypes.c_int64
             lib.dn_rans_uncompress.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64, u8, ctypes.c_int64]
+            lib.dn_itf8_scan.restype = ctypes.c_int64
+            lib.dn_itf8_scan.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, i32, ctypes.c_int64]
             _LIB = lib
         except OSError:
             _FAILED = True

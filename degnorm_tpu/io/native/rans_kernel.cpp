@@ -176,6 +176,48 @@ int64_t decode_o1(const uint8_t* buf, int64_t n, uint8_t* out,
 
 extern "C" {
 
+// Scan an entire external block of ITF8 varints (CRAM 3.0 §2.3) into
+// int32s.  Returns the value count, -1 if out_cap is exceeded, or -2 if
+// the block does not end exactly on a value boundary (the vectorized
+// CRAM decoder then falls back to the per-record path).
+int64_t dn_itf8_scan(const uint8_t* buf, int64_t n, int32_t* out,
+                     int64_t out_cap) {
+  int64_t off = 0, cnt = 0;
+  while (off < n) {
+    if (cnt >= out_cap) return -1;
+    uint8_t b0 = buf[off];
+    int need;
+    uint32_t v;
+    if (b0 < 0x80) {
+      need = 1;
+      v = b0;
+    } else if (b0 < 0xC0) {
+      need = 2;
+      if (off + need > n) return -2;
+      v = ((uint32_t)(b0 & 0x3F) << 8) | buf[off + 1];
+    } else if (b0 < 0xE0) {
+      need = 3;
+      if (off + need > n) return -2;
+      v = ((uint32_t)(b0 & 0x1F) << 16) | ((uint32_t)buf[off + 1] << 8) |
+          buf[off + 2];
+    } else if (b0 < 0xF0) {
+      need = 4;
+      if (off + need > n) return -2;
+      v = ((uint32_t)(b0 & 0x0F) << 24) | ((uint32_t)buf[off + 1] << 16) |
+          ((uint32_t)buf[off + 2] << 8) | buf[off + 3];
+    } else {
+      need = 5;
+      if (off + need > n) return -2;
+      v = ((uint32_t)(b0 & 0x0F) << 28) | ((uint32_t)buf[off + 1] << 20) |
+          ((uint32_t)buf[off + 2] << 12) | ((uint32_t)buf[off + 3] << 4) |
+          (buf[off + 4] & 0x0F);
+    }
+    out[cnt++] = (int32_t)v;
+    off += need;
+  }
+  return cnt;
+}
+
 // Full CRAM rANS payload (9-byte header + table + stream) -> out.
 // Returns bytes written, or -1 on any truncation/corruption/cap error.
 int64_t dn_rans_uncompress(const uint8_t* payload, int64_t plen,

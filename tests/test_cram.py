@@ -397,6 +397,27 @@ def test_cram_major_version_gate(tmp_path):
         cramio.read_cram(p)
 
 
+def test_fast_path_engages_on_writer_output(tmp_path, monkeypatch):
+    """The vectorized decoder must actually handle the writer's encoding
+    profile (guards against a silent permanent fallback to the 15x
+    slower per-record path)."""
+    from degnorm_tpu.io import cram_fast
+    if cram_fast._scan_itf8(b"\x01") is None:
+        pytest.skip("native library unavailable")
+    hits = {"ok": 0}
+    orig = cram_fast._decode
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        hits["ok"] += 1
+        return out
+    monkeypatch.setattr(cram_fast, "_decode", spy)
+    cp = str(tmp_path / "e.cram")
+    cramio.write_cram(cp, _REFS, _LENS, _RECS, records_per_slice=3)
+    _, cc = cramio.read_cram(cp)
+    assert hits["ok"] == 2 and len(cc) == len(_RECS)
+
+
 def _random_records(rng, n):
     """Random-but-valid record tuples: mixed chromosomes, occasional
     unmapped reads, random CIGARs over M/I/D/N/S/H/P."""
@@ -457,6 +478,14 @@ def test_cram_fuzz_random_records(tmp_path):
                   "cigar_ops", "cigar_lens", "cigar_offsets"):
             assert np.array_equal(getattr(cc, f), getattr(bc, f)), \
                 (trial, f)
+        # the vectorized decoder (io/cram_fast.py) must be exactly
+        # equivalent to the per-record reference decoder
+        _, slow = cramio.read_cram(cp, drop_unmapped=False, fast=False)
+        assert list(cc.qnames) == list(slow.qnames), trial
+        for f in ("tid", "pos", "flag", "rnext", "nh",
+                  "cigar_ops", "cigar_lens", "cigar_offsets"):
+            assert np.array_equal(getattr(cc, f), getattr(slow, f)), \
+                (trial, "fast-vs-slow", f)
 
 
 # ---------------------------------------------------------------------------
