@@ -858,13 +858,51 @@ def _read_file_header(buf, off: int) -> Tuple[BamHeader, int, str]:
         off, text
 
 
+def _fast_default(fast: Optional[bool]) -> bool:
+    if fast is None:
+        import os as _os
+        return _os.environ.get("DEGNORM_TPU_NO_NATIVE", "0") != "1"
+    return fast
+
+
+def _decode_container_blocks(buf, off: int, end: int, fast: bool,
+                             chunks: List[ReadColumns]) -> None:
+    """Decode one data container's blocks region [off, end) into column
+    chunks — the shared core of the whole-file and streaming readers."""
+    blk, off = read_block(buf, off)
+    if blk.content_type != CT_COMPRESSION_HEADER:
+        raise ValueError("container does not begin with a "
+                         "compression header block")
+    comp = read_compression_header(blk.data)
+    while off < end:
+        blk, off = read_block(buf, off)
+        if blk.content_type != CT_SLICE_HEADER:
+            raise ValueError("expected a slice header block")
+        sh = read_slice_header(blk.data)
+        core: Optional[BitReader] = None
+        ext: Dict[int, _Ext] = {}
+        for _ in range(sh.n_blocks):
+            b, off = read_block(buf, off)
+            if b.content_type == CT_CORE:
+                core = BitReader(b.data)
+            elif b.content_type == CT_EXTERNAL:
+                ext[b.content_id] = _Ext(b.data)
+        cols = None
+        if fast:
+            from degnorm_tpu.io.cram_fast import decode_slice_fast
+            cols = decode_slice_fast(comp, sh, core, ext, "cram.")
+        if cols is None:
+            cols = _recs_to_columns(
+                _decode_slice(comp, sh, core or BitReader(b""),
+                              ext, "cram."))
+        chunks.append(cols)
+
+
 def parse_cram_bytes(buf: bytes, *, tid: Optional[int] = None,
                      drop_unmapped: bool = True,
                      fast: Optional[bool] = None
                      ) -> Tuple[BamHeader, ReadColumns]:
-    if fast is None:
-        import os as _os
-        fast = _os.environ.get("DEGNORM_TPU_NO_NATIVE", "0") != "1"
+    fast = _fast_default(fast)
     off = _check_magic(buf)
     header, off, _ = _read_file_header(buf, off)
 
@@ -875,36 +913,101 @@ def parse_cram_bytes(buf: bytes, *, tid: Optional[int] = None,
         end = off + ch.length
         if ch.n_records == 0 or ch.start == EOF_START:
             off = end                          # EOF or empty container
-            continue
-        blk, off = read_block(buf, off)
-        if blk.content_type != CT_COMPRESSION_HEADER:
-            raise ValueError("container does not begin with a "
-                             "compression header block")
-        comp = read_compression_header(blk.data)
-        while off < end:
-            blk, off = read_block(buf, off)
-            if blk.content_type != CT_SLICE_HEADER:
-                raise ValueError("expected a slice header block")
-            sh = read_slice_header(blk.data)
-            core: Optional[BitReader] = None
-            ext: Dict[int, _Ext] = {}
-            for _ in range(sh.n_blocks):
-                b, off = read_block(buf, off)
-                if b.content_type == CT_CORE:
-                    core = BitReader(b.data)
-                elif b.content_type == CT_EXTERNAL:
-                    ext[b.content_id] = _Ext(b.data)
-            cols = None
-            if fast:
-                from degnorm_tpu.io.cram_fast import decode_slice_fast
-                cols = decode_slice_fast(comp, sh, core, ext, "cram.")
-            if cols is None:
-                cols = _recs_to_columns(
-                    _decode_slice(comp, sh, core or BitReader(b""),
-                                  ext, "cram."))
-            chunks.append(cols)
+        else:
+            _decode_container_blocks(buf, off, end, fast, chunks)
+            off = end
     return header, _filter_columns(_concat_columns(chunks),
                                    tid=tid, drop_unmapped=drop_unmapped)
+
+
+def read_cram_region(path: str, tid: int, *, drop_unmapped: bool = True,
+                     fast: Optional[bool] = None) -> ReadColumns:
+    """Stream one chromosome's records, memory-bounded by container.
+
+    Coordinate-sorted CRAMs need no index for this: every container
+    header names its reference id, so containers for other chromosomes
+    are skipped with a seek — only matching (or multi-ref, id -2)
+    containers are read and decoded.  This is the CRAM counterpart of the
+    BAI-driven region fetch (io/bam.py:read_bam_region, replacing pysam
+    fetch at reference reads.py:225)."""
+    fast = _fast_default(fast)
+    chunks: List[ReadColumns] = []
+    with open(path, "rb") as f:
+        head = f.read(26)
+        _check_magic(head)
+        pos = 26
+        f.seek(0, 2)
+        fsize = f.tell()
+        first = True
+        while pos < fsize:
+            f.seek(pos)
+            buf = f.read(4096)
+            while True:                 # rare: huge landmark lists
+                try:
+                    ch, hend = read_container_header(buf, 0)
+                    break
+                except (IndexError, struct.error):
+                    more = f.read(1 << 20)
+                    if not more:
+                        raise ValueError("truncated CRAM container header")
+                    buf += more
+            data_start = pos + hend
+            pos = data_start + ch.length
+            if first:
+                first = False           # SAM header container
+                continue
+            if (ch.n_records == 0 or ch.start == EOF_START
+                    or (ch.ref_id >= 0 and ch.ref_id != tid)):
+                continue
+            f.seek(data_start)
+            data = f.read(ch.length)
+            if len(data) < ch.length:
+                raise ValueError("truncated CRAM container")
+            _decode_container_blocks(data, 0, ch.length, fast, chunks)
+    return _filter_columns(_concat_columns(chunks), tid=tid,
+                           drop_unmapped=drop_unmapped)
+
+
+def read_cram_head_qnames(path: str, n_records: int = 301) -> List[str]:
+    """Query names of the first mapped records, decoding only leading
+    containers — the pairedness sniff (reference reads.py:178-203)
+    without a whole-file decode (streaming ETL)."""
+    out: List[str] = []
+    with open(path, "rb") as f:
+        head = f.read(26)
+        _check_magic(head)
+        pos = 26
+        f.seek(0, 2)
+        fsize = f.tell()
+        first = True
+        while pos < fsize and len(out) < n_records:
+            f.seek(pos)
+            buf = f.read(4096)
+            while True:
+                try:
+                    ch, hend = read_container_header(buf, 0)
+                    break
+                except (IndexError, struct.error):
+                    more = f.read(1 << 20)
+                    if not more:
+                        raise ValueError("truncated CRAM container header")
+                    buf += more
+            data_start = pos + hend
+            pos = data_start + ch.length
+            if first:
+                first = False
+                continue
+            if ch.n_records == 0 or ch.start == EOF_START:
+                continue
+            f.seek(data_start)
+            data = f.read(ch.length)
+            chunks: List[ReadColumns] = []
+            _decode_container_blocks(data, 0, ch.length,
+                                     _fast_default(None), chunks)
+            cols = _filter_columns(_concat_columns(chunks), tid=None,
+                                   drop_unmapped=True)
+            out.extend(cols.qnames.tolist())
+    return out[:n_records]
 
 
 def _recs_to_columns(recs: List[_Rec]) -> ReadColumns:

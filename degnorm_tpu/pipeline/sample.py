@@ -49,10 +49,15 @@ class BamSampleProcessor:
         self.is_cram = bam_file.lower().endswith(".cram")
 
         if self.is_cram:
+            # CRAM needs no index to stream: containers carry their ref
+            # id, so per-chromosome fetch is seek-and-skip (io/cram.py::
+            # read_cram_region).  Same auto rule as BAM.
             from degnorm_tpu.io import cram as cramio
             self.bai_file = None
-            self.stream = False
             self._bai_index = None
+            if stream is None:
+                stream = os.path.getsize(bam_file) > self.STREAM_THRESHOLD
+            self.stream = bool(stream)
             self.header = cramio.read_cram_header(bam_file)
             names = self.header.ref_names
             if chroms is not None:
@@ -107,7 +112,11 @@ class BamSampleProcessor:
         In streaming mode the sniff reads BGZF blocks incrementally from
         the file head instead of triggering a whole-file decode."""
         if self.stream:
-            qnames = bamio.read_head_qnames(self.filename, 301)
+            if self.is_cram:
+                from degnorm_tpu.io import cram as cramio
+                qnames = cramio.read_cram_head_qnames(self.filename, 301)
+            else:
+                qnames = bamio.read_head_qnames(self.filename, 301)
             if not qnames:
                 return False
             return {q.split(".")[-1] for q in qnames} == {"1", "2"}
@@ -122,6 +131,9 @@ class BamSampleProcessor:
         return tokens == {"1", "2"}
 
     def _chrom_cols(self, tid: int) -> bamio.ReadColumns:
+        if self.stream and self.is_cram:
+            from degnorm_tpu.io import cram as cramio
+            return cramio.read_cram_region(self.filename, tid)
         if self.stream:
             from degnorm_tpu.io import bai as baiio
             if self._bai_index is None:

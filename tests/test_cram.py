@@ -488,6 +488,69 @@ def test_cram_fuzz_random_records(tmp_path):
                 (trial, "fast-vs-slow", f)
 
 
+def test_cram_region_streaming_matches_whole_file(tmp_path):
+    """read_cram_region (seek-and-skip container streaming) must equal
+    the whole-file decode filtered to the same tid, including the
+    multi-ref boundary slices a (tid, pos)-sorted file produces."""
+    rng = np.random.default_rng(17)
+    recs = sorted(_random_records(rng, 150), key=lambda r: (r[1], r[2]))
+    cp = str(tmp_path / "mc.cram")
+    cramio.write_cram(cp, _REFS, _LENS, recs, records_per_slice=16)
+    _, whole = cramio.read_cram(cp, drop_unmapped=False)
+    for tid in (0, 1):
+        region = cramio.read_cram_region(cp, tid, drop_unmapped=False)
+        ref = cramio._filter_columns(whole, tid=tid, drop_unmapped=False)
+        assert list(region.qnames) == list(ref.qnames)
+        for f in ("tid", "pos", "flag", "rnext", "nh",
+                  "cigar_ops", "cigar_lens", "cigar_offsets"):
+            assert np.array_equal(getattr(region, f), getattr(ref, f)), \
+                (tid, f)
+
+
+def test_cram_head_qnames(tmp_path):
+    recs = [(f"n{i}.{1 + i % 2}", 0, 10 * i, 0x1, "30M", 0, 1)
+            for i in range(50)]
+    cp = str(tmp_path / "h.cram")
+    cramio.write_cram(cp, _REFS, _LENS, recs, records_per_slice=8)
+    got = cramio.read_cram_head_qnames(cp, 10)
+    assert got == [r[0] for r in recs[:10]]
+    assert cramio.read_cram_head_qnames(cp, 999) == [r[0] for r in recs]
+
+
+def test_sample_processor_cram_streaming_matches(tmp_path):
+    """BamSampleProcessor(stream=True) on a .cram (per-chromosome
+    container streaming, no index) must reproduce the whole-file-decode
+    outputs exactly."""
+    from degnorm_tpu.io.gtf import process_annotation
+    from degnorm_tpu.io.overlap import overlap_structure
+    from degnorm_tpu.pipeline.sample import BamSampleProcessor
+
+    rng = np.random.default_rng(31)
+    genes = make_genes(rng, n_genes=5, overlap_fraction=0.3)
+    gtf = str(tmp_path / "g.gtf")
+    write_gtf(gtf, genes)
+    cp = str(tmp_path / "s.cram")
+    write_sample_cram(cp, genes, CHROM_LEN, seed=8, paired=True,
+                      mean_reads_per_gene=60, degradation=0.2)
+    exon_df = process_annotation(gtf)
+    gene_df = exon_df[["chr", "gene", "gene_start", "gene_end"]
+                      ].drop_duplicates().reset_index(drop=True)
+    ov = {"chr1": overlap_structure(gene_df[gene_df.chr == "chr1"])}
+
+    out = {}
+    for stream in (False, True):
+        proc = BamSampleProcessor(cp, stream=stream)
+        assert proc.stream == stream and proc.paired
+        out[stream] = proc.coverage_read_counts(ov, gene_df, exon_df)
+    a, b = out[False]["chr1"], out[True]["chr1"]
+    assert a.read_counts == b.read_counts
+    if a.isolated_coverage is not None:
+        assert np.array_equal(a.isolated_coverage, b.isolated_coverage)
+    for g in a.overlap_coverage:
+        assert np.array_equal(a.overlap_coverage[g],
+                              b.overlap_coverage[g])
+
+
 # ---------------------------------------------------------------------------
 # pipeline integration
 # ---------------------------------------------------------------------------
