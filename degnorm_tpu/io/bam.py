@@ -78,6 +78,25 @@ class ReadColumns:
                                        self.cigar_lens[s:e]))
 
 
+def subset_columns(cols: ReadColumns, mask: np.ndarray) -> ReadColumns:
+    """Rows of ``cols`` where ``mask`` is True, with the flattened cigar
+    arrays and offsets rebuilt (and the optional pairing columns kept)."""
+    idx = np.flatnonzero(mask)
+    counts = np.diff(cols.cigar_offsets)
+    keep_ops = np.repeat(mask, counts)
+    return ReadColumns(
+        qnames=cols.qnames[idx],
+        tid=cols.tid[idx], pos=cols.pos[idx], flag=cols.flag[idx],
+        rnext=cols.rnext[idx], nh=cols.nh[idx],
+        cigar_ops=cols.cigar_ops[keep_ops],
+        cigar_lens=cols.cigar_lens[keep_ops],
+        cigar_offsets=np.concatenate(
+            [[0], np.cumsum(counts[idx])]).astype(np.int64),
+        pair_hash=(None if cols.pair_hash is None else cols.pair_hash[idx]),
+        mate_code=(None if cols.mate_code is None else cols.mate_code[idx]),
+    )
+
+
 def _parse_aux_nh(buf: bytes, off: int, end: int) -> int:
     """Scan aux fields for the NH:i tag; returns 0 if absent."""
     _SIZES = {ord("A"): 1, ord("c"): 1, ord("C"): 1, ord("s"): 2,

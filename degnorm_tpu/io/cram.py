@@ -38,7 +38,8 @@ from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 import numpy as np
 
 from degnorm_tpu.io import rans
-from degnorm_tpu.io.bam import BamHeader, ReadColumns, _OP_INDEX
+from degnorm_tpu.io.bam import (BamHeader, ReadColumns, _OP_INDEX,
+                                subset_columns)
 
 CRAM_MAGIC = b"CRAM"
 EOF_START = 4_542_278            # 'EOF' little-endian-ish sentinel position
@@ -180,7 +181,7 @@ def _uncompress_block(data: bytes, method: int, out_sz: int) -> bytes:
     if method in _31_ONLY:
         raise ValueError(
             f"block uses the CRAM 3.1 codec '{_31_ONLY[method]}' "
-            "(method {method}); only CRAM 3.0 codecs are supported")
+            f"(method {method}); only CRAM 3.0 codecs are supported")
     raise ValueError(f"unknown block compression method {method}")
 
 
@@ -521,7 +522,9 @@ def _parse_td(raw: bytes) -> List[List[Tuple[str, str]]]:
 
 def read_compression_header(data: bytes) -> CompressionHeader:
     off = 0
-    rn, ap, rr = True, False, True
+    # spec defaults for absent preservation-map keys are all TRUE
+    # (CRAM 3.0 §8.4) — notably AP: absent means delta-encoded positions.
+    rn, ap, rr = True, True, True
     td: List[List[Tuple[str, str]]] = [[]]
 
     # preservation map
@@ -827,10 +830,13 @@ def read_cram(path: str, *, tid: Optional[int] = None,
 
 def read_cram_header(path: str) -> BamHeader:
     with open(path, "rb") as f:
-        buf = f.read(1 << 22)     # SAM header container is at the front
-    off = _check_magic(buf)
-    hdr, _, _ = _read_file_header(buf, off)
-    return hdr
+        for ch, data_start in _walk_containers(f, include_first=True):
+            f.seek(data_start)
+            data = f.read(ch.length)   # exactly the SAM header container,
+            if len(data) < ch.length:  # however large (100k-contig refs)
+                raise ValueError("truncated CRAM header container")
+            return _header_from_container(data)
+    raise ValueError("CRAM file has no header container")
 
 
 def _check_magic(buf: bytes) -> int:
@@ -847,15 +853,19 @@ def _check_magic(buf: bytes) -> int:
 def _read_file_header(buf, off: int) -> Tuple[BamHeader, int, str]:
     ch, off = read_container_header(buf, off)
     end = off + ch.length
-    text = ""
+    hdr = _header_from_container(buf[off:end])
+    return hdr, end, hdr.text
+
+
+def _header_from_container(data) -> BamHeader:
+    off, end, text = 0, len(data), ""
     while off < end:
-        blk, off = read_block(buf, off)
+        blk, off = read_block(data, off)
         if blk.content_type == CT_FILE_HEADER and not text:
             ln = struct.unpack_from("<i", blk.data, 0)[0]
             text = blk.data[4:4 + ln].decode("utf-8", "replace")
     names, lengths = _parse_sam_header(text)
-    return BamHeader(text=text, ref_names=names, ref_lengths=lengths), \
-        off, text
+    return BamHeader(text=text, ref_names=names, ref_lengths=lengths)
 
 
 def _fast_default(fast: Optional[bool]) -> bool:
@@ -911,8 +921,12 @@ def parse_cram_bytes(buf: bytes, *, tid: Optional[int] = None,
     while off < n:
         ch, off = read_container_header(buf, off)
         end = off + ch.length
-        if ch.n_records == 0 or ch.start == EOF_START:
-            off = end                          # EOF or empty container
+        # n_records == 0 covers both the spec EOF sentinel container and
+        # genuinely empty containers; a bare start == EOF_START test would
+        # silently drop real data containers that happen to start at that
+        # genomic coordinate.
+        if ch.n_records == 0:
+            off = end
         else:
             _decode_container_blocks(buf, off, end, fast, chunks)
             off = end
@@ -933,31 +947,8 @@ def read_cram_region(path: str, tid: int, *, drop_unmapped: bool = True,
     fast = _fast_default(fast)
     chunks: List[ReadColumns] = []
     with open(path, "rb") as f:
-        head = f.read(26)
-        _check_magic(head)
-        pos = 26
-        f.seek(0, 2)
-        fsize = f.tell()
-        first = True
-        while pos < fsize:
-            f.seek(pos)
-            buf = f.read(4096)
-            while True:                 # rare: huge landmark lists
-                try:
-                    ch, hend = read_container_header(buf, 0)
-                    break
-                except (IndexError, struct.error):
-                    more = f.read(1 << 20)
-                    if not more:
-                        raise ValueError("truncated CRAM container header")
-                    buf += more
-            data_start = pos + hend
-            pos = data_start + ch.length
-            if first:
-                first = False           # SAM header container
-                continue
-            if (ch.n_records == 0 or ch.start == EOF_START
-                    or (ch.ref_id >= 0 and ch.ref_id != tid)):
+        for ch, data_start in _walk_containers(f):
+            if ch.n_records == 0 or (ch.ref_id >= 0 and ch.ref_id != tid):
                 continue
             f.seek(data_start)
             data = f.read(ch.length)
@@ -968,36 +959,49 @@ def read_cram_region(path: str, tid: int, *, drop_unmapped: bool = True,
                            drop_unmapped=drop_unmapped)
 
 
+def _walk_containers(f, *, include_first: bool = False):
+    """Yield ``(container_header, data_start_offset)`` for each container
+    in an open CRAM file, reading only the headers (the caller seeks and
+    reads whatever data it wants).  Grows the probe read when a header
+    straddles it (rare: huge landmark lists).  The leading SAM-header
+    container is skipped unless ``include_first``."""
+    f.seek(0)
+    _check_magic(f.read(26))
+    pos = 26
+    f.seek(0, 2)
+    fsize = f.tell()
+    first = True
+    while pos < fsize:
+        f.seek(pos)
+        buf = f.read(4096)
+        while True:
+            try:
+                ch, hend = read_container_header(buf, 0)
+                break
+            except (IndexError, struct.error):
+                more = f.read(1 << 20)
+                if not more:
+                    raise ValueError("truncated CRAM container header")
+                buf += more
+        data_start = pos + hend
+        pos = data_start + ch.length
+        if first:
+            first = False
+            if not include_first:
+                continue
+        yield ch, data_start
+
+
 def read_cram_head_qnames(path: str, n_records: int = 301) -> List[str]:
     """Query names of the first mapped records, decoding only leading
     containers — the pairedness sniff (reference reads.py:178-203)
     without a whole-file decode (streaming ETL)."""
     out: List[str] = []
     with open(path, "rb") as f:
-        head = f.read(26)
-        _check_magic(head)
-        pos = 26
-        f.seek(0, 2)
-        fsize = f.tell()
-        first = True
-        while pos < fsize and len(out) < n_records:
-            f.seek(pos)
-            buf = f.read(4096)
-            while True:
-                try:
-                    ch, hend = read_container_header(buf, 0)
-                    break
-                except (IndexError, struct.error):
-                    more = f.read(1 << 20)
-                    if not more:
-                        raise ValueError("truncated CRAM container header")
-                    buf += more
-            data_start = pos + hend
-            pos = data_start + ch.length
-            if first:
-                first = False
-                continue
-            if ch.n_records == 0 or ch.start == EOF_START:
+        for ch, data_start in _walk_containers(f):
+            if len(out) >= n_records:
+                break
+            if ch.n_records == 0:
                 continue
             f.seek(data_start)
             data = f.read(ch.length)
@@ -1062,18 +1066,7 @@ def _filter_columns(cols: ReadColumns, *, tid: Optional[int],
         mask &= (cols.flag & FLAG_UNMAPPED) == 0
     if mask.all():
         return cols
-    idx = np.flatnonzero(mask)
-    counts = np.diff(cols.cigar_offsets)
-    keep_ops = np.repeat(mask, counts)
-    return ReadColumns(
-        qnames=cols.qnames[idx],
-        tid=cols.tid[idx], pos=cols.pos[idx], flag=cols.flag[idx],
-        rnext=cols.rnext[idx], nh=cols.nh[idx],
-        cigar_ops=cols.cigar_ops[keep_ops],
-        cigar_lens=cols.cigar_lens[keep_ops],
-        cigar_offsets=np.concatenate(
-            [[0], np.cumsum(counts[idx])]).astype(np.int64),
-    )
+    return subset_columns(cols, mask)
 
 
 # ---------------------------------------------------------------------------
@@ -1149,8 +1142,9 @@ def write_cram(path: str, ref_names: Sequence[str],
     synthesized ('A') where the format requires them (insertions, soft
     clips, unmapped reads); '='/'X' CIGAR runs canonicalize to 'M'.
     ``compression``: raw | gzip | rans (block codec for external blocks).
-    ``link_mates``: emit consecutive same-qname pairs as within-slice
-    mate links (NF series) instead of detached records.
+    ``link_mates``: emit consecutive same-qname runs as within-slice
+    mate links (NF series) instead of detached records; runs of 3+
+    records become NF chains.
     """
     method = {"raw": M_RAW, "gzip": M_GZIP, "rans": M_RANS}[compression]
     recs = [tuple(r) for r in records]
@@ -1214,13 +1208,14 @@ def _build_slice_container(chunk, counter: int, method: int,
     # tag dictionary: line 0 = no tags, line 1 = NH:i
     td_lines = [[], [("NH", "i")]]
 
-    # within-slice mate linking: first of a same-qname consecutive pair
+    # within-slice mate linking: every same-qname consecutive adjacency
+    # becomes one NF link, so runs of 3+ records form spec-legal NF
+    # *chains* (multi-segment templates) — a record may be both a link
+    # target and the next link's leader
     mate_of = {}
     if link_mates:
         for i in range(len(chunk) - 1):
-            if (chunk[i][0] == chunk[i + 1][0]
-                    and i not in mate_of and i + 1 not in mate_of.values()
-                    and i not in mate_of.values()):
+            if chunk[i][0] == chunk[i + 1][0]:
                 mate_of[i] = i + 1
 
     prev_ap = hdr_start

@@ -203,23 +203,42 @@ def _decode(ch, sh, ext, name_prefix) -> "C.ReadColumns":
     j_idx = i_idx + nf + 1
     if len(j_idx) and int(j_idx.max()) >= n:
         raise ValueError("CRAM mate link escapes its slice")
-    rnext[i_idx] = tid[j_idx]
-    rnext[j_idx] = tid[i_idx]
-    bf_i, bf_j = bf[i_idx].copy(), bf[j_idx].copy()
+    # Match the per-record decoder's sequential link resolution
+    # (cram.py:703-724) exactly, including NF *chains* — a record that is
+    # both a link target and itself a leader keeps its own forward link:
+    # per link (i, j=i+nf+1) in ascending i, rnext[i]=tid[j] then
+    # rnext[j]=tid[i]; since j > i always, a leader's forward write is the
+    # last write to its row, and for duplicate targets the later leader's
+    # backlink wins.
+    if len(j_idx):
+        uj, rev = np.unique(j_idx[::-1], return_index=True)
+        rnext[uj] = tid[i_idx[::-1][rev]]   # last leader per target
+    rnext[i_idx] = tid[j_idx]               # forward writes override
+    # Flag propagation only reads REVERSE/UNMAPPED (never the MATE_* bits
+    # it writes), so it is order-independent; use or.at for the duplicate
+    # targets the plain |= fancy-assignment would apply only once.
+    bf_i, bf_j = bf[i_idx], bf[j_idx]
     bf[i_idx] |= (np.where(bf_j & C.FLAG_REVERSE, C.FLAG_MATE_REVERSE, 0)
                   | np.where(bf_j & C.FLAG_UNMAPPED,
                              C.FLAG_MATE_UNMAPPED, 0))
-    bf[j_idx] |= (np.where(bf_i & C.FLAG_REVERSE, C.FLAG_MATE_REVERSE, 0)
-                  | np.where(bf_i & C.FLAG_UNMAPPED,
-                             C.FLAG_MATE_UNMAPPED, 0))
+    np.bitwise_or.at(
+        bf, j_idx,
+        np.where(bf_i & C.FLAG_REVERSE, C.FLAG_MATE_REVERSE, 0)
+        | np.where(bf_i & C.FLAG_UNMAPPED, C.FLAG_MATE_UNMAPPED, 0))
 
     if not ch.rn_preserved:
+        # sequential semantics: a leader names itself (if unnamed), the
+        # target inherits the leader's name only if still unnamed — so a
+        # chain shares the head leader's name and a doubly-targeted
+        # record keeps the FIRST leader's name.
+        for i, j in zip(i_idx, j_idx):
+            if names[i] is None:
+                names[i] = f"{name_prefix}{sh.counter + i}"
+            if names[j] is None:
+                names[j] = names[i]
         for i in range(n):               # generated names (cheap: no IO)
             if names[i] is None:
                 names[i] = f"{name_prefix}{sh.counter + i}"
-        for i, j in zip(i_idx, j_idx):   # linked mates share the leader's
-            if not detached[j]:
-                names[j] = names[i]
 
     # --- NH tag
     tl = S.ints("TL", n)

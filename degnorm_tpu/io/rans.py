@@ -40,11 +40,21 @@ def _normalize_freqs(counts: np.ndarray) -> np.ndarray:
         return np.zeros(256, dtype=np.int64)
     f = counts * TOTFREQ // total
     f[(counts > 0) & (f == 0)] = 1
-    # fix the residual on the most frequent symbol (always large enough)
+    # Fix the residual: a positive remainder goes to the most frequent
+    # symbol; a deficit (many rare symbols bumped to 1 can overshoot the
+    # budget) is taken from the largest symbols without dropping any
+    # below 1.  At most 256 symbols of >= 1 each always fit in TOTFREQ.
     resid = TOTFREQ - int(f.sum())
-    f[int(np.argmax(f))] += resid
-    if f[int(np.argmax(f))] <= 0:
-        raise ValueError("degenerate frequency normalization")
+    if resid >= 0:
+        f[int(np.argmax(f))] += resid
+    else:
+        while resid < 0:
+            i = int(np.argmax(f))
+            take = min(int(f[i]) - 1, -resid)
+            if take <= 0:
+                raise ValueError("degenerate frequency normalization")
+            f[i] -= take
+            resid += take
     return f
 
 

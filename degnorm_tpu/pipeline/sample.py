@@ -104,7 +104,8 @@ class BamSampleProcessor:
             else:
                 _, cols = bamio.read_bam(self.filename)
             for t in np.unique(cols.tid):
-                self._cols_by_tid[int(t)] = _subset_cols(cols, cols.tid == t)
+                self._cols_by_tid[int(t)] = bamio.subset_columns(
+                    cols, cols.tid == t)
 
     def _sniff_paired(self) -> bool:
         """Pairedness heuristic from the first 301 query names on the first
@@ -229,21 +230,6 @@ class BamSampleProcessor:
                              overlap_coverage=ol, read_counts=counts)
 
 
-def _subset_cols(cols: bamio.ReadColumns, mask: np.ndarray) -> bamio.ReadColumns:
-    idx = np.flatnonzero(mask)
-    counts = np.diff(cols.cigar_offsets)
-    keep_ops = np.repeat(mask, counts)
-    new_counts = counts[idx]
-    return bamio.ReadColumns(
-        qnames=cols.qnames[idx],
-        tid=cols.tid[idx], pos=cols.pos[idx], flag=cols.flag[idx],
-        rnext=cols.rnext[idx], nh=cols.nh[idx],
-        cigar_ops=cols.cigar_ops[keep_ops],
-        cigar_lens=cols.cigar_lens[keep_ops],
-        cigar_offsets=np.concatenate([[0], np.cumsum(new_counts)]),
-        pair_hash=(None if cols.pair_hash is None else cols.pair_hash[idx]),
-        mate_code=(None if cols.mate_code is None else cols.mate_code[idx]),
-    )
 
 
 def _empty_cols() -> bamio.ReadColumns:

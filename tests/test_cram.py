@@ -620,3 +620,98 @@ def test_pipeline_cli_accepts_cram(tmp_path):
     assert {"sample0", "sample1"} <= set(di.columns)
     vals = di[["sample0", "sample1"]].values
     assert np.isfinite(vals).all() and (vals >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# review regressions
+# ---------------------------------------------------------------------------
+
+def test_container_at_eof_sentinel_coordinate_not_dropped(tmp_path):
+    """A data container whose alignment start happens to equal the EOF
+    sentinel position (4,542,278) must still be decoded — only zero-record
+    containers are skippable."""
+    refs, lens = ["chrBig"], [10_000_000]
+    recs = [("a", 0, cramio.EOF_START - 1, 0x0, "50M", -1, 1),
+            ("b", 0, cramio.EOF_START + 100, 0x0, "50M", -1, 1)]
+    cp = str(tmp_path / "eofpos.cram")
+    cramio.write_cram(cp, refs, lens, recs)
+    _, cc = cramio.read_cram(cp)
+    assert list(cc.qnames) == ["a", "b"]
+    region = cramio.read_cram_region(cp, 0)
+    assert list(region.qnames) == ["a", "b"]
+    assert cramio.read_cram_head_qnames(cp, 10) == ["a", "b"]
+
+
+@pytest.mark.parametrize("preserve_names", [True, False])
+def test_nf_chain_fast_matches_reference_decoder(tmp_path, preserve_names):
+    """3+ same-qname records form an NF chain; the vectorized decoder must
+    reproduce the per-record decoder's sequential link resolution (a chain
+    middle keeps its own forward rnext, not the backlink)."""
+    recs = [("chain", 0, 100, 0x1, "30M", 1, 1),
+            ("chain", 1, 200, 0x1, "30M", 2, 1),
+            ("chain", 2, 300, 0x1 | 0x10, "30M", 1, 1),
+            ("solo", 0, 400, 0x0, "20M", -1, 1)]
+    refs = ["c1", "c2", "c3"]
+    lens = [10_000, 10_000, 10_000]
+    cp = str(tmp_path / "chain.cram")
+    cramio.write_cram(cp, refs, lens, recs, link_mates=True,
+                      preserve_names=preserve_names)
+    _, slow = cramio.read_cram(cp, drop_unmapped=False, fast=False)
+    _, fastc = cramio.read_cram(cp, drop_unmapped=False, fast=True)
+    for f in ("tid", "pos", "flag", "rnext", "nh",
+              "cigar_ops", "cigar_lens", "cigar_offsets"):
+        assert np.array_equal(getattr(fastc, f), getattr(slow, f)), f
+    assert list(fastc.qnames) == list(slow.qnames)
+    # sequential semantics: rnext = [tid(mate1), tid(mate2), tid(mate1), -1]
+    assert list(slow.rnext) == [1, 2, 1, -1]
+    # mate-reverse flag propagates backlink-ward from the reversed tail
+    assert slow.flag[1] & 0x20
+    if not preserve_names:
+        # the whole chain shares the head leader's generated name
+        assert fastc.qnames[0] == fastc.qnames[1] == fastc.qnames[2]
+        assert fastc.qnames[3] != fastc.qnames[0]
+
+
+def test_rans_normalization_skewed_many_rare_symbols():
+    """200 rare symbols each bumped to freq 1 overshoot the 4096 budget;
+    normalization must shave the excess off the common symbols instead of
+    producing a negative frequency (and must stay a valid stream)."""
+    rng = np.random.default_rng(3)
+    rare = np.arange(200, dtype=np.uint8)
+    common = rng.integers(200, 256, 16_184, dtype=np.uint8)
+    data = bytes(np.concatenate([rare, common])[rng.permutation(16_384)])
+    for order in (0, 1):
+        assert rans.uncompress(rans.compress(data, order=order)) == data
+    freqs = rans._normalize_freqs(np.bincount(np.frombuffer(data, np.uint8),
+                                              minlength=256))
+    assert int(freqs.sum()) == rans.TOTFREQ and int(freqs.min()) >= 0
+    assert (freqs[np.bincount(np.frombuffer(data, np.uint8),
+                              minlength=256) > 0] >= 1).all()
+
+
+def test_compression_header_ap_default_is_delta():
+    """CRAM 3.0 spec: absent preservation-map keys default to true — an
+    omitted AP key means delta-encoded alignment positions."""
+    data = bytearray()
+    cramio.write_itf8(data, 0)      # preservation map byte size (redundant)
+    cramio.write_itf8(data, 0)      # no preservation-map entries
+    cramio.write_itf8(data, 0)      # ds map size
+    cramio.write_itf8(data, 0)      # no data-series encodings
+    cramio.write_itf8(data, 0)      # tag map size
+    cramio.write_itf8(data, 0)      # no tag encodings
+    ch = cramio.read_compression_header(bytes(data))
+    assert ch.ap_delta is True and ch.rn_preserved is True and ch.rr is True
+
+
+def test_read_cram_header_huge_sam_header(tmp_path):
+    """Scaffold-level assemblies can push the SAM header container past
+    4 MiB; read_cram_header must read it whole, not a fixed-size prefix."""
+    n_refs = 130_000
+    refs = [f"scaffold_{i:06d}_with_a_rather_long_name" for i in range(n_refs)]
+    lens = [1000] * n_refs
+    recs = [("r", 0, 10, 0x0, "20M", -1, 1)]
+    cp = str(tmp_path / "huge.cram")
+    cramio.write_cram(cp, refs, lens, recs)
+    hdr = cramio.read_cram_header(cp)
+    assert len(hdr.text.encode()) > (1 << 22)
+    assert hdr.ref_names == refs and hdr.ref_lengths == lens
