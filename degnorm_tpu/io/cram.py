@@ -1044,6 +1044,14 @@ def _concat_columns(chunks: List[ReadColumns]) -> ReadColumns:
     offs = [chunks[0].cigar_offsets]
     for c in chunks[1:]:
         offs.append(c.cigar_offsets[1:] + offs[-1][-1])
+
+    def opt(field):
+        # optional pairing columns survive only when every chunk has them
+        # (a per-record-decoded chunk leaves them None)
+        vals = [getattr(c, field) for c in chunks]
+        return (np.concatenate(vals)
+                if all(v is not None for v in vals) else None)
+
     return ReadColumns(
         qnames=np.concatenate([c.qnames for c in chunks]),
         tid=np.concatenate([c.tid for c in chunks]),
@@ -1054,6 +1062,8 @@ def _concat_columns(chunks: List[ReadColumns]) -> ReadColumns:
         cigar_ops=np.concatenate([c.cigar_ops for c in chunks]),
         cigar_lens=np.concatenate([c.cigar_lens for c in chunks]),
         cigar_offsets=np.concatenate(offs),
+        pair_hash=opt("pair_hash"),
+        mate_code=opt("mate_code"),
     )
 
 

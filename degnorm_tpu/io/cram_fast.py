@@ -132,6 +132,30 @@ def _cumsum0(a: np.ndarray) -> np.ndarray:
     return out
 
 
+def _pair_hash_native(blk: bytes, starts: np.ndarray, lens: np.ndarray
+                      ) -> Tuple[Optional[np.ndarray],
+                                 Optional[np.ndarray]]:
+    """(pair_hash, mate_code) for names packed in one byte buffer, via the
+    native batch kernel; (None, None) when unavailable (callers then leave
+    the optional columns unset and pairing falls back to string codes)."""
+    from degnorm_tpu.io.native.build import get_fn
+    fn = get_fn("dn_pair_hash")
+    n = len(starts)
+    if fn is None or n == 0:
+        return None, None
+    out_h = np.empty(n, np.uint64)
+    out_m = np.empty(n, np.int8)
+    st = np.ascontiguousarray(starts, np.int64)
+    ln = np.ascontiguousarray(lens, np.int64)
+    fn(blk,
+       st.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+       ln.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+       n,
+       out_h.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+       out_m.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+    return out_h, out_m
+
+
 _Q_ONE = {ord("i"), ord("B"), ord("X")}          # consume one query base
 _NO_OP = {ord("q"), ord("Q")}                    # no cigar effect
 _OP_OF = {ord("S"): 4, ord("I"): 1, ord("i"): 1, ord("b"): 0,
@@ -175,10 +199,15 @@ def _decode(ch, sh, ext, name_prefix) -> "C.ReadColumns":
 
     # --- read names
     names: List[Optional[str]]
+    pair_hash = mate_code = None
     if ch.rn_preserved:
         blk, starts, lens = S.stop_items("RN", n)
         text = blk.decode("latin-1")
         names = [text[starts[i]:starts[i] + lens[i]] for i in range(n)]
+        # pairing columns straight off the name bytes (no Python string
+        # work) so the native coverage kernel's paired path engages for
+        # CRAM input like it does for natively-read BAM
+        pair_hash, mate_code = _pair_hash_native(blk, starts, lens)
     else:
         nd = int(detached.sum())
         names = [None] * n
@@ -259,6 +288,8 @@ def _decode(ch, sh, ext, name_prefix) -> "C.ReadColumns":
         cigar_ops=cig_ops,
         cigar_lens=cig_lens,
         cigar_offsets=cig_offsets,
+        pair_hash=pair_hash,
+        mate_code=mate_code,
     )
 
 

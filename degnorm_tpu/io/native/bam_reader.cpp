@@ -190,6 +190,18 @@ int dn_parse_records(const uint8_t* p, int64_t len, int32_t tid_filter,
                      int drop_unmapped, int64_t pos_min, int64_t pos_max,
                      DnBamData* out);
 
+// Batch pairing hash over names stored in one concatenated buffer
+// (byte offsets + lengths per name) — lets non-BAM decoders (CRAM) fill
+// the pair_hash/mate_code columns without per-name Python work, so the
+// native coverage kernel's paired path stays available for them.
+void dn_pair_hash(const uint8_t* buf, const int64_t* starts,
+                  const int64_t* lens, int64_t n,
+                  uint64_t* out_hash, int8_t* out_mate) {
+    for (int64_t i = 0; i < n; i++)
+        out_hash[i] = pair_hash_and_suffix(
+            (const char*)buf + starts[i], (size_t)lens[i], out_mate + i);
+}
+
 void dn_free_bam(DnBamData* d) {
     if (!d) return;
     free(d->tid); free(d->pos); free(d->flag); free(d->rnext); free(d->nh);

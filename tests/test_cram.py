@@ -715,3 +715,71 @@ def test_read_cram_header_huge_sam_header(tmp_path):
     hdr = cramio.read_cram_header(cp)
     assert len(hdr.text.encode()) > (1 << 22)
     assert hdr.ref_names == refs and hdr.ref_lengths == lens
+
+
+def test_cram_pair_hash_matches_native_bam(tmp_path):
+    """The fast decoder fills the optional pairing columns (pair_hash /
+    mate_code) from the raw name bytes so the native coverage kernel's
+    paired path engages for CRAM input; values must equal the native BAM
+    reader's on identical records."""
+    from degnorm_tpu.io.native.build import load_library
+    if load_library() is None:
+        pytest.skip("native library unavailable")
+    bp = str(tmp_path / "p.bam")
+    bamio.write_bam(bp, _REFS, _LENS, _RECS)
+    _, bc = bamio.read_bam(bp)                      # native: fills pairing
+    assert bc.pair_hash is not None
+    cp = str(tmp_path / "p.cram")
+    cramio.write_cram(cp, _REFS, _LENS, _RECS, records_per_slice=3)
+    _, cc = cramio.read_cram(cp, fast=True)
+    assert cc.pair_hash is not None and cc.mate_code is not None
+    assert np.array_equal(cc.pair_hash, bc.pair_hash)
+    assert np.array_equal(cc.mate_code, bc.mate_code)
+    # mate codes reflect the '.1'/'.2' suffixes of _RECS
+    assert list(cc.mate_code[:2]) == [1, 2]
+    # paired mates share a hash; dotless names all hash the empty prefix
+    # (reference reads.py:258 split semantics), distinct from the pair
+    assert cc.pair_hash[0] == cc.pair_hash[1]
+    dotless = [i for i, q in enumerate(cc.qnames) if "." not in q]
+    assert len({int(cc.pair_hash[i]) for i in dotless}) == 1
+    assert cc.pair_hash[dotless[0]] != cc.pair_hash[0]
+
+
+def test_cram_paired_coverage_native_matches_numpy(tmp_path):
+    """Paired CRAM input routes through the C++ coverage kernel (enabled
+    by the decoder-filled pair_hash column) and matches the numpy path."""
+    import pandas as pd
+    from degnorm_tpu.io.coverage import chromosome_coverage_read_counts
+    from degnorm_tpu.io.coverage_native import chromosome_coverage_native
+    from degnorm_tpu.io.native.build import load_library
+    if load_library() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    recs = []
+    for i in range(150):
+        p = int(rng.integers(0, 8000))
+        recs.append((f"t{i}.1", 0, p, 0x1 | 0x40, "50M", 0, 1))
+        recs.append((f"t{i}.2", 0, p + 120, 0x1 | 0x80, "50M", 0, 1))
+    recs.sort(key=lambda r: r[2])
+    cp = str(tmp_path / "p.cram")
+    cramio.write_cram(cp, ["chr1"], [20_000], recs, records_per_slice=64)
+    _, cc = cramio.read_cram(cp)
+    assert cc.pair_hash is not None
+    gene_df = pd.DataFrame({"chr": ["chr1"], "gene": ["g0"],
+                            "gene_start": [1], "gene_end": [20_000]})
+    exon_df = pd.DataFrame({"chr": ["chr1"], "gene": ["g0"],
+                            "start": [1], "end": [20_000]})
+    ov = {"overlap_genes": [], "isolated_genes": ["g0"]}
+    nat = chromosome_coverage_native(cc, "chr1", 20_000, gene_df, exon_df,
+                                     ov, paired=True)
+    assert nat is not None, "paired CRAM must engage the native kernel"
+    py = chromosome_coverage_read_counts(cc, "chr1", 20_000, gene_df,
+                                         exon_df, ov, paired=True,
+                                         native=False)
+    assert nat.read_counts == py.read_counts == {"g0": 150}
+
+    def dense(c):
+        x = c.isolated_coverage
+        return np.asarray(x.todense()).ravel() if hasattr(x, "todense") \
+            else np.asarray(x)
+    assert np.array_equal(dense(nat), dense(py))
