@@ -140,11 +140,16 @@ def _pair_hash_native(blk: bytes, starts: np.ndarray, lens: np.ndarray
     the optional columns unset and pairing falls back to string codes)."""
     from degnorm_tpu.io.native.build import get_fn
     fn = get_fn("dn_pair_hash")
-    n = len(starts)
-    if fn is None or n == 0:
+    if fn is None:
         return None, None
+    n = len(starts)
     out_h = np.empty(n, np.uint64)
     out_m = np.empty(n, np.int8)
+    if n == 0:
+        # empty arrays, not None: _concat_columns keeps the pairing
+        # columns only when EVERY chunk has them, so a zero-record slice
+        # must not nullify the whole file's
+        return out_h, out_m
     st = np.ascontiguousarray(starts, np.int64)
     ln = np.ascontiguousarray(lens, np.int64)
     fn(blk,

@@ -156,8 +156,6 @@ def load_library() -> Optional[ctypes.CDLL]:
             lib.dn_itf8_scan.restype = ctypes.c_int64
             lib.dn_itf8_scan.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64, i32, ctypes.c_int64]
-            u64 = ctypes.POINTER(ctypes.c_uint64)
-            i8 = ctypes.POINTER(ctypes.c_int8)
             lib.dn_pair_hash.restype = None
             lib.dn_pair_hash.argtypes = [
                 ctypes.c_char_p, i64, i64, ctypes.c_int64, u64, i8]
