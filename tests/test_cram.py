@@ -420,11 +420,27 @@ def test_fast_path_engages_on_writer_output(tmp_path, monkeypatch):
 
 def _random_records(rng, n):
     """Random-but-valid record tuples: mixed chromosomes, occasional
-    unmapped reads, random CIGARs over M/I/D/N/S/H/P."""
+    unmapped reads, random CIGARs over M/I/D/N/S/H/P, and same-qname runs
+    of 2-4 (under link_mates these become NF chains; single tid + plain
+    0x1 flags so NF resolution reconstructs exactly the written rnext and
+    adds no mate flags — keeping BAM-column equality by construction
+    while fuzzing the chain link/name logic)."""
     recs = []
-    for i in range(n):
+    i = 0
+    while i < n:
         tid = int(rng.integers(0, 2))
         pos = int(rng.integers(0, 5000))
+        if rng.random() < 0.12:
+            k = int(rng.integers(2, 5))
+            for _ in range(k):
+                cig = f"{int(rng.integers(1, 80))}M"
+                nh = int(rng.integers(1, 4)) if rng.random() < 0.5 else None
+                rec = (f"run{i}", tid, pos, 0x1, cig, tid)
+                recs.append(rec if nh is None else rec + (nh,))
+                pos += int(rng.integers(1, 200))
+            i += 1
+            continue
+        i += 1
         if rng.random() < 0.08:
             recs.append((f"u{i}", tid, pos, 0x4, "", -1,
                          int(rng.integers(1, 4))))
@@ -471,6 +487,7 @@ def test_cram_fuzz_random_records(tmp_path):
             compression=str(rng.choice(["raw", "gzip", "rans"])),
             preserve_names=bool(rng.random() < 0.8),
             ap_delta=bool(rng.random() < 0.5),
+            link_mates=bool(rng.random() < 0.5),
             records_per_slice=int(rng.integers(1, 40)))
         _, cc = cramio.read_cram(cp, drop_unmapped=False)
         assert len(cc) == len(bc), trial
