@@ -90,8 +90,23 @@ def parse_config(argv: Optional[List[str]] = None,
                  return_args: bool = False):
     args = build_parser().parse_args(argv)
 
+    # numeric flag validation (reference utils.py:343-344)
+    if (args.nmf_iter < 1 or args.degnorm_iter < 1
+            or args.downsample_rate < 1):
+        raise SystemExit("--nmf-iter, --iter, and --downsample-rate must "
+                         "all be >= 1.")
+    # input selection methods are mutually exclusive (utils.py:398-403)
+    if args.bam_dir and (args.bam_files or args.bai_files):
+        raise SystemExit("Do not specify both a --bam-dir and either "
+                         "--bam-files and/or --bai-files.")
+    for b in args.bam_files or []:
+        if not b.endswith((".bam", ".cram")):   # utils.py:434-436
+            raise SystemExit(f"{b} is not a .bam or .cram file.")
+
     bam_files = list(args.bam_files or [])
     if args.bam_dir:
+        if not os.path.isdir(args.bam_dir):
+            raise SystemExit(f"Cannot find --bam-dir {args.bam_dir}")
         bam_files.extend(sorted(
             glob.glob(os.path.join(args.bam_dir, "*.bam"))
             + glob.glob(os.path.join(args.bam_dir, "*.cram"))))
@@ -136,11 +151,30 @@ def main(argv: Optional[List[str]] = None) -> int:
     cfg, args = parse_config(argv, return_args=True)
 
     mesh = None
+    coordinator = True
     if args.multihost:
-        from degnorm_tpu.parallel.distributed import (global_mesh,
-                                                      initialize_multihost)
+        from degnorm_tpu.parallel.distributed import (broadcast_string,
+                                                      global_mesh,
+                                                      initialize_multihost,
+                                                      is_coordinator)
         initialize_multihost()
         mesh = global_mesh()
+        import jax
+        if jax.process_count() > 1:
+            # coordinator owns the run directory and every artifact write;
+            # its timestamped name is broadcast so all processes agree
+            # (the reference bcasts its output dir, __main_mpi__.py:62-71)
+            coordinator = is_coordinator()
+            output_dir = broadcast_string(
+                create_output_dir(cfg.output_dir) if coordinator else "")
+            if not coordinator:
+                os.makedirs(output_dir, exist_ok=True)
+            configure_logger(output_dir if coordinator else None,
+                             process_tag=f"rank {jax.process_index()}")
+            welcome()
+            run_pipeline(cfg, output_dir=output_dir, mesh=mesh,
+                         write_outputs=coordinator)
+            return 0
     elif args.mesh:
         from degnorm_tpu.parallel.sharded import make_mesh
         mesh = make_mesh()

@@ -191,7 +191,9 @@ class PipelineConfig:
     # MPI-only caps __main_mpi__.py:374-376, unified here per SURVEY.md §7.2).
     minimax_coverage: int = 0
     max_gene_length: int = 9_000_000
-    max_coverage: float = float(2 ** 31)
+    # reference drops genes with max coverage > 2147483647 (2^31 - 1,
+    # __main_mpi__.py:377), not > 2^31
+    max_coverage: float = float(2 ** 31 - 1)
     unique_alignments: bool = True
     # CIGAR/pairing semantics: "reference" reproduces the reference
     # implementation's parser quirks exactly (needed for bitwise coverage

@@ -66,3 +66,22 @@ def global_mesh():
 
 def is_coordinator() -> bool:
     return jax.process_index() == 0
+
+
+def broadcast_string(s: str, max_len: int = 1024) -> str:
+    """Broadcast a string (e.g. the coordinator's timestamped output-dir
+    name) from process 0 to all processes — the reference bcasts its
+    output dir the same way (``__main_mpi__.py:62-71``).  Every process
+    must call this (it is a collective)."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    data = s.encode("utf-8")
+    if len(data) > max_len:
+        raise ValueError(f"string longer than {max_len} bytes")
+    arr = np.zeros(max_len + 2, np.uint8)
+    arr[0], arr[1] = len(data) >> 8, len(data) & 0xFF
+    arr[2:2 + len(data)] = np.frombuffer(data, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(arr))
+    n = (int(out[0]) << 8) | int(out[1])
+    return bytes(out[2:2 + n]).decode("utf-8")

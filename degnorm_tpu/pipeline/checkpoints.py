@@ -21,8 +21,18 @@ def checkpoint_path(output_dir: str) -> str:
 def save_checkpoint(output_dir: str, iteration: int, state,
                     ran_baseline_selection: np.ndarray,
                     genes) -> str:
-    """Snapshot GlobalState after ``iteration`` (0-based, completed)."""
+    """Snapshot GlobalState after ``iteration`` (0-based, completed).
+
+    Multihost: only process 0 writes (all processes reach this point in
+    lockstep and would race os.replace on the same shared-FS path); every
+    process still loads the shared checkpoint on resume."""
     path = checkpoint_path(output_dir)
+    try:
+        import jax
+        if jax.process_index() != 0:
+            return path
+    except Exception:
+        pass
     tmp = path + ".tmp"
     np.savez_compressed(
         tmp,

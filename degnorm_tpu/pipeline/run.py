@@ -53,9 +53,13 @@ def welcome() -> None:
         log.info(line)
 
 
-def configure_logger(output_dir: Optional[str] = None) -> None:
-    """Stream + degnorm.log file logging (utils.py:16-34 format)."""
-    fmt = logging.Formatter("DegNorm (%(asctime)s) ---- %(message)s")
+def configure_logger(output_dir: Optional[str] = None,
+                     process_tag: Optional[str] = None) -> None:
+    """Stream + degnorm.log file logging (utils.py:16-34 format);
+    ``process_tag`` prefixes messages in multihost runs (the reference's
+    rank prefix, __main_mpi__.py:33-40)."""
+    tag = f"[{process_tag}] " if process_tag else ""
+    fmt = logging.Formatter(f"DegNorm (%(asctime)s) ---- {tag}%(message)s")
     log.setLevel(logging.DEBUG)
     log.handlers.clear()
     h = logging.StreamHandler(sys.stdout)
@@ -68,18 +72,23 @@ def configure_logger(output_dir: Optional[str] = None) -> None:
 
 
 def run_pipeline(cfg: PipelineConfig, output_dir: Optional[str] = None,
-                 mesh=None) -> Dict:
+                 mesh=None, write_outputs: bool = True) -> Dict:
     """Run the full DegNorm pipeline; returns a dict with the fit result,
     gene tables, and the output directory path.
 
     ``mesh``: optional device mesh for gene-sharded execution (single- or
-    multi-host; see parallel/)."""
+    multi-host; see parallel/).
+    ``write_outputs``: False on multihost worker processes — the
+    coordinator owns every artifact in the (shared) output directory;
+    workers keep ETL scratch in a process-private subdirectory and skip
+    final outputs/plots/report."""
     output_dir = output_dir or create_output_dir(cfg.output_dir)
 
     if cfg.warm_start_dir:
         log.info("WARM START: loading preprocessed data from %s",
                  cfg.warm_start_dir)
-        warm = load_from_previous(cfg.warm_start_dir, output_dir)
+        warm = load_from_previous(cfg.warm_start_dir, output_dir,
+                                  copy_artifacts=write_outputs)
         gene_cov_dict = warm["gene_cov_dict"]
         read_count_df = warm["read_count_df"]
         genes_df = warm["genes_df"]
@@ -87,7 +96,7 @@ def run_pipeline(cfg: PipelineConfig, output_dir: Optional[str] = None,
         exon_df = warm["exon_df"]
     else:
         gene_cov_dict, read_count_df, genes_df, exon_df, sample_ids = (
-            _cold_start(cfg, output_dir))
+            _cold_start(cfg, output_dir, write_outputs=write_outputs))
 
     # ---- gene filters before NMF (reference __main__.py:221-238, plus the
     # MPI-only caps __main_mpi__.py:374-376, unified per SURVEY.md §7.2) ----
@@ -114,11 +123,22 @@ def run_pipeline(cfg: PipelineConfig, output_dir: Optional[str] = None,
     # ---- the device loop ----
     engine = DegNormEngine(cfg.nmf, cfg.engine, mesh=mesh)
     counts = read_count_df[sample_ids].values.astype(np.float64)
+    # checkpoint_dir goes to every process (all resume from the shared
+    # file); saving is coordinator-gated inside save_checkpoint
     result = engine.run(gene_cov_dict, counts, checkpoint_dir=output_dir)
+
+    # materialize estimates on EVERY process: on a multi-process mesh this
+    # is an allgather collective, so workers must participate before the
+    # coordinator-only output writing below (skipping it deadlocks both)
+    estimates = OrderedDict(zip(result.genes, result.estimates()))
+
+    if not write_outputs:
+        return {"result": result, "genes_df": genes_df,
+                "read_count_df": read_count_df, "sample_ids": sample_ids,
+                "output_dir": output_dir, "exon_df": exon_df}
 
     # ---- outputs (reference nmf.py:603-711 contract) ----
     gene_chrom = dict(zip(genes_df.gene, genes_df.chr))
-    estimates = OrderedDict(zip(result.genes, result.estimates()))
     outputs.save_results(
         output_dir, result.genes, gene_chrom, result.rho, result.x_adj,
         result.ran_baseline_selection, estimates, sample_ids)
@@ -153,12 +173,21 @@ def run_pipeline(cfg: PipelineConfig, output_dir: Optional[str] = None,
             "output_dir": output_dir, "exon_df": exon_df}
 
 
-def _cold_start(cfg: PipelineConfig, output_dir: str):
+def _cold_start(cfg: PipelineConfig, output_dir: str,
+                write_outputs: bool = True):
     """BAM/GTF ETL (reference __main__.py:55-209)."""
     if not cfg.bam_files:
         raise ValueError("no .bam files supplied")
     if not cfg.genome_annotation:
         raise ValueError("no genome annotation (.gtf) supplied")
+
+    etl_dir = output_dir
+    if not write_outputs:
+        # multihost worker: per-sample scratch must not collide with the
+        # coordinator's on a shared filesystem
+        import jax
+        etl_dir = os.path.join(output_dir, f".etl_proc{jax.process_index()}")
+        os.makedirs(etl_dir, exist_ok=True)
 
     bais = (list(cfg.bai_files) if cfg.bai_files
             else [None] * len(cfg.bam_files))
@@ -169,7 +198,7 @@ def _cold_start(cfg: PipelineConfig, output_dir: str):
             f"--bai-files count ({len(bais)}) does not match .bam count "
             f"({len(cfg.bam_files)})")
     samples = [BamSampleProcessor(b, unique_alignment=cfg.unique_alignments,
-                                  output_dir=output_dir,
+                                  output_dir=etl_dir,
                                   compat=cfg.cigar_compat,
                                   bai_file=bai, stream=cfg.stream_etl)
                for b, bai in zip(cfg.bam_files, bais)]
@@ -195,17 +224,22 @@ def _cold_start(cfg: PipelineConfig, output_dir: str):
     # releases the GIL); each sample additionally threads over chromosomes
     from concurrent.futures import ThreadPoolExecutor
 
+    # -p is a TOTAL host-thread budget (the reference's proc-per-node):
+    # split it between the sample fan-out and each sample's per-chromosome
+    # threads so p samples don't oversubscribe to n_jobs^2 threads
+    sample_workers = min(cfg.n_jobs, len(samples))
+    inner_jobs = max(1, cfg.n_jobs // max(sample_workers, 1))
+
     def etl(s: BamSampleProcessor):
         s.chroms = used_chroms
         log.info("SAMPLE %s: computing coverage/read counts (%s)",
                  s.sample_id, "paired" if s.paired else "single-end")
         return s.sample_id, s.coverage_read_counts(
-            overlap_by_chrom, gene_df, exon_df, n_jobs=cfg.n_jobs)
+            overlap_by_chrom, gene_df, exon_df, n_jobs=inner_jobs)
 
     results = {}
-    if cfg.n_jobs > 1 and len(samples) > 1:
-        with ThreadPoolExecutor(
-                max_workers=min(cfg.n_jobs, len(samples))) as ex:
+    if sample_workers > 1:
+        with ThreadPoolExecutor(max_workers=sample_workers) as ex:
             for sid, r in ex.map(etl, samples):
                 results[sid] = r
     else:
@@ -218,9 +252,11 @@ def _cold_start(cfg: PipelineConfig, output_dir: str):
 
     # clean up per-sample scratch (reference __main__.py:168-170)
     for sid in sample_ids:
-        scratch = os.path.join(output_dir, sid)
+        scratch = os.path.join(etl_dir, sid)
         if os.path.isdir(scratch):
             shutil.rmtree(scratch)
+    if not write_outputs:
+        shutil.rmtree(etl_dir, ignore_errors=True)
 
     # order counts/genes by coverage-dict order (reference __main__.py:175-190)
     genes = list(gene_cov_dict.keys())
@@ -232,13 +268,15 @@ def _cold_start(cfg: PipelineConfig, output_dir: str):
     exon_df = exon_df[exon_df.gene.isin(genes)]
 
     # save gene annotation metadata + raw read counts (__main__.py:199-209)
-    exon_df.to_csv(os.path.join(output_dir, "gene_exon_metadata.csv"),
-                   index=False)
-    read_count_df.to_csv(os.path.join(output_dir, "read_counts.csv"),
-                         index=False)
+    if write_outputs:
+        exon_df.to_csv(os.path.join(output_dir, "gene_exon_metadata.csv"),
+                       index=False)
+        read_count_df.to_csv(os.path.join(output_dir, "read_counts.csv"),
+                             index=False)
 
-    # raw coverage matrices pickles (reads_coverage_merge.py:439-452)
-    gene_chrom = dict(zip(genes_df.gene, genes_df.chr))
-    outputs.save_coverage_matrices(output_dir, gene_chrom, gene_cov_dict)
+        # raw coverage matrices pickles (reads_coverage_merge.py:439-452)
+        gene_chrom = dict(zip(genes_df.gene, genes_df.chr))
+        outputs.save_coverage_matrices(output_dir, gene_chrom,
+                                       gene_cov_dict)
 
     return gene_cov_dict, read_count_df, genes_df, exon_df, sample_ids

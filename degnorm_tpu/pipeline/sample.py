@@ -108,28 +108,21 @@ class BamSampleProcessor:
                     cols, cols.tid == t)
 
     def _sniff_paired(self) -> bool:
-        """Pairedness heuristic from the first 301 query names on the first
-        chromosome: all qnames end in '.1'/'.2' (reference reads.py:178-203).
-        In streaming mode the sniff reads BGZF blocks incrementally from
-        the file head instead of triggering a whole-file decode."""
-        if self.stream:
-            if self.is_cram:
-                from degnorm_tpu.io import cram as cramio
-                qnames = cramio.read_cram_head_qnames(self.filename, 301)
-            else:
-                qnames = bamio.read_head_qnames(self.filename, 301)
-            if not qnames:
-                return False
-            return {q.split(".")[-1] for q in qnames} == {"1", "2"}
-        self._load_all()
-        first_tid = self.header.ref_names.index(self.chroms[0]) \
-            if self.chroms else 0
-        cols = self._cols_by_tid.get(first_tid)
-        if cols is None or len(cols) == 0:
+        """Pairedness heuristic from the first 301 query names in file
+        order: all qnames end in '.1'/'.2' (reference reads.py:178-203,
+        which heads the loaded reads dataframe — file order likewise).
+        The sniff reads BGZF blocks/containers incrementally from the file
+        head in BOTH modes, so __init__ never triggers a whole-file decode
+        (non-stream decode is deferred to coverage_read_counts, inside the
+        per-sample thread pool)."""
+        if self.is_cram:
+            from degnorm_tpu.io import cram as cramio
+            qnames = cramio.read_cram_head_qnames(self.filename, 301)
+        else:
+            qnames = bamio.read_head_qnames(self.filename, 301)
+        if not qnames:
             return False
-        qnames = cols.qnames[:301]
-        tokens = {q.split(".")[-1] for q in qnames}
-        return tokens == {"1", "2"}
+        return {q.split(".")[-1] for q in qnames} == {"1", "2"}
 
     def _chrom_cols(self, tid: int) -> bamio.ReadColumns:
         if self.stream and self.is_cram:

@@ -98,6 +98,98 @@ print("ENGINE OK", flush=True)
 """
 
 
+_CLI_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from degnorm_tpu.cli import main
+rc = main(["--bam-files", *{bams!r}, "-g", {gtf!r}, "-o", {out!r},
+           "--nmf-iter", "4", "--iter", "1", "--multihost"])
+assert rc == 0
+# post-run collective sanity: the output-dir broadcast primitive
+# round-trips arbitrary unicode from the coordinator
+from degnorm_tpu.parallel.distributed import broadcast_string, is_coordinator
+got = broadcast_string("dir/å-π ok" if is_coordinator() else "")
+assert got == "dir/å-π ok", got
+print("CLI OK", flush=True)
+"""
+
+
+def test_two_process_cli_multihost(tmp_path):
+    """Full CLI run with --multihost across two OS processes: the
+    coordinator owns the single run directory (its timestamped name is
+    broadcast), workers write no duplicate artifacts, and the DI output
+    matches a single-process run of the same data (the reference's MPI
+    entry point contract, __main_mpi__.py:62-71)."""
+    import numpy as np
+    import pandas as pd
+    from degnorm_tpu.io.simulate import make_genes, write_gtf, \
+        write_sample_bam
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rng = np.random.default_rng(17)
+    genes = make_genes(rng, n_genes=6, overlap_fraction=0.25)
+    gtf = str(tmp_path / "sim.gtf")
+    write_gtf(gtf, genes)
+    bams = []
+    for i, deg in enumerate((0.0, 0.5)):
+        bam = str(tmp_path / f"mh{i}.bam")
+        write_sample_bam(bam, genes, 80_000, seed=400 + i,
+                         mean_reads_per_gene=100, degradation=deg)
+        bams.append(bam)
+
+    out_base = tmp_path / "mh_out"
+    out_base.mkdir()
+    script = tmp_path / "cli_worker.py"
+    script.write_text(_CLI_WORKER.format(repo=repo, bams=bams, gtf=gtf,
+                                         out=str(out_base)))
+    env = dict(os.environ,
+               DEGNORM_TPU_COORDINATOR="localhost:19751",
+               DEGNORM_TPU_NUM_PROCESSES="2")
+    procs = []
+    for pid in range(2):
+        e = dict(env, DEGNORM_TPU_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=e,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    for pid, pr in enumerate(procs):
+        out, _ = pr.communicate(timeout=300)
+        assert pr.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        assert "CLI OK" in out
+
+    # exactly ONE run directory — both processes agreed on the broadcast
+    # name instead of racing create_output_dir
+    runs = [p for p in os.listdir(out_base) if p.startswith("degnorm_")]
+    assert len(runs) == 1, runs
+    run = os.path.join(out_base, runs[0])
+    # worker ETL scratch cleaned up; no duplicate output tree
+    assert not [p for p in os.listdir(run) if p.startswith(".etl_proc")]
+    # NB: no degnorm_checkpoint.npz here — the device-resident outer loop
+    # (multi-process mesh) documents per-iteration checkpointing as
+    # unavailable (engine.py _run_device_loop docstring)
+    for fname in ("degradation_index_scores.csv", "adjusted_read_counts.csv",
+                  "read_counts.csv", "degnorm.log"):
+        assert os.path.isfile(os.path.join(run, fname)), fname
+
+    # DI parity vs a single-process run of the identical data
+    from degnorm_tpu.cli import main
+    solo_base = tmp_path / "solo_out"
+    solo_base.mkdir()
+    rc = main(["--bam-files", *bams, "-g", gtf, "-o", str(solo_base),
+               "--nmf-iter", "4", "--iter", "1"])
+    assert rc == 0
+    solo = os.path.join(solo_base, os.listdir(str(solo_base))[0])
+    di_mh = pd.read_csv(os.path.join(run, "degradation_index_scores.csv"))
+    di_solo = pd.read_csv(os.path.join(solo,
+                                       "degradation_index_scores.csv"))
+    m1 = di_mh.set_index("gene")[["mh0", "mh1"]].sort_index()
+    m2 = di_solo.set_index("gene")[["mh0", "mh1"]].sort_index()
+    np.testing.assert_allclose(m1.values, m2.values, rtol=1e-4, atol=1e-6)
+
+
 def test_two_process_engine(tmp_path):
     """Full DegNormEngine fit with the gene mesh spanning two OS processes
     (device-resident outer loop) — results must match a single-process

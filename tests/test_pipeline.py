@@ -180,6 +180,29 @@ def test_pipeline_plot_genes_and_bam_dir(dataset, tmp_path):
     assert any(f.lower().startswith("gene00") for f in pngs)
 
 
+def test_cli_flag_validation(dataset, tmp_path):
+    """Reference argparser rejections (utils.py:343-344, 398-403,
+    434-436): non-positive numeric flags, --bam-dir combined with
+    --bam-files, non-.bam/.cram paths, missing --bam-dir."""
+    from degnorm_tpu.cli import parse_config
+    base = ["--bam-files", *dataset["bams"], "-g", dataset["gtf"]]
+    for bad in (["-d", "0"], ["--nmf-iter", "0"], ["--iter", "-1"],
+                ["-d", "-3"]):
+        with pytest.raises(SystemExit):
+            parse_config(base + bad)
+    with pytest.raises(SystemExit):
+        parse_config(base + ["--bam-dir", dataset["dir"]])
+    with pytest.raises(SystemExit):
+        parse_config(["--bam-files", "reads.txt", dataset["bams"][0],
+                      "-g", dataset["gtf"]])
+    with pytest.raises(SystemExit):
+        parse_config(["--bam-dir", str(tmp_path / "nope"),
+                      "-g", dataset["gtf"]])
+    # the valid base still parses
+    cfg = parse_config(base)
+    assert len(cfg.bam_files) == 2
+
+
 def test_multihost_init_noop(monkeypatch):
     """initialize_multihost is a no-op without coordinator config."""
     from degnorm_tpu.parallel.distributed import initialize_multihost
