@@ -90,11 +90,40 @@ def parse_config(argv: Optional[List[str]] = None,
                  return_args: bool = False):
     args = build_parser().parse_args(argv)
 
+    # cap -p at the host's core count (reference utils.py:327-332 caps at
+    # max_cpu = cores-1 with a warning; we warn and cap the same way)
+    max_ppn = max(1, (os.cpu_count() or 2) - 1)
+    if args.proc_per_node > max_ppn:
+        import warnings
+        warnings.warn(f"-p {args.proc_per_node} exceeds the available "
+                      f"cores; reducing to {max_ppn}.")
+        args.proc_per_node = max_ppn
+
+    # output directory must already exist (utils.py:334-336; the run
+    # creates a timestamped subdirectory inside it)
+    if not os.path.isdir(args.output_dir):
+        raise SystemExit(f"Cannot find output directory {args.output_dir} "
+                         "for saving output")
+
     # numeric flag validation (reference utils.py:343-344)
     if (args.nmf_iter < 1 or args.degnorm_iter < 1
             or args.downsample_rate < 1):
         raise SystemExit("--nmf-iter, --iter, and --downsample-rate must "
                          "all be >= 1.")
+
+    if args.warm_start_dir:
+        # utils.py:365-379: validate the directory and ignore any
+        # simultaneously-supplied alignment/annotation inputs (warned)
+        if not os.path.isdir(args.warm_start_dir):
+            raise SystemExit(
+                f"Cannot find --warm-start-dir {args.warm_start_dir}")
+        if args.bam_files or args.bam_dir or args.genome_annotation:
+            import logging
+            logging.getLogger("degnorm_tpu").warning(
+                "Using warm-start directory. Supplied .bam files, .bam "
+                "directory, and genome annotation file will be ignored.")
+        args.bam_files = args.bai_files = args.bam_dir = None
+        args.genome_annotation = None
     # input selection methods are mutually exclusive (utils.py:398-403)
     if args.bam_dir and (args.bam_files or args.bai_files):
         raise SystemExit("Do not specify both a --bam-dir and either "
@@ -121,6 +150,19 @@ def parse_config(argv: Optional[List[str]] = None,
         missing = [b for b in bam_files if not os.path.isfile(b)]
         if missing:
             raise SystemExit(f"missing .bam/.cram files: {missing}")
+        if len(bam_files) != len(set(bam_files)):   # utils.py:478-480
+            raise SystemExit("Supplied .bam files are not uniquely named!")
+        if args.bai_files:
+            # utils.py:443-457: count must match, files must be .bai and
+            # exist (the native reader can also build indexes itself)
+            if len(args.bai_files) != len(bam_files):
+                raise SystemExit("Number of supplied .bai files does not "
+                                 "match number of supplied .bam files.")
+            for bai in args.bai_files:
+                if not bai.endswith(".bai"):
+                    raise SystemExit(f"{bai} is not a .bai file.")
+                if not os.path.isfile(bai):
+                    raise SystemExit(f"Could not find .bai file {bai}")
 
     nmf = NMFConfig(
         degnorm_iter=args.degnorm_iter, nmf_iter=args.nmf_iter,

@@ -413,13 +413,8 @@ class DegNormEngine:
                        else (self.mesh is not None
                              and jax.process_count() > 1))
         if device_loop:
-            if checkpoint_dir:
-                import logging
-                logging.getLogger("degnorm_tpu").warning(
-                    "checkpoint_dir is not supported on the device-resident "
-                    "outer loop (multi-process mesh); per-iteration "
-                    "checkpoints will NOT be written")
-            return self._run_device_loop(genes, cov_mats, x, n, p, dtype)
+            return self._run_device_loop(genes, cov_mats, x, n, p, dtype,
+                                         checkpoint_dir=checkpoint_dir)
 
         # ---- resume from checkpoint? ----
         start_iter = 0
@@ -521,7 +516,31 @@ class DegNormEngine:
                 multihost_utils.process_allgather(arr, tiled=True))
         return np.asarray(arr)
 
-    def _run_device_loop(self, genes, cov_mats, x, n, p, dtype
+    def _save_device_checkpoint(self, checkpoint_dir: str, it: int, x,
+                                rho, x_adj, x_weighted, norm, scale,
+                                ran_restored: np.ndarray, ran_cols,
+                                genes) -> None:
+        """Gather the device loop's state and snapshot it in the host
+        loop's checkpoint format.  The gathers are collectives on a
+        multi-process mesh — EVERY process must call this; the file write
+        itself is coordinator-gated inside save_checkpoint."""
+        from degnorm_tpu.core.degnorm import GlobalState
+        from degnorm_tpu.pipeline.checkpoints import save_checkpoint
+        state = GlobalState(
+            x=np.asarray(x, np.float64),
+            x_weighted=self._gather(x_weighted).astype(np.float64),
+            x_adj=self._gather(x_adj).astype(np.float64),
+            rho=self._gather(rho).astype(np.float64),
+            norm_factors=self._gather(norm).astype(np.float64),
+            scale_factors=self._gather(scale).astype(np.float64))
+        ran = np.concatenate(
+            [ran_restored]
+            + [np.asarray(self._gather(c), bool)[:, None] for c in ran_cols],
+            axis=1)
+        save_checkpoint(checkpoint_dir, it, state, ran, genes)
+
+    def _run_device_loop(self, genes, cov_mats, x, n, p, dtype,
+                         checkpoint_dir: Optional[str] = None
                          ) -> DegNormResult:
         """Outer loop with all global updates on device (jnp twins of
         core/degnorm.py).  Required when the gene mesh spans multiple
@@ -529,32 +548,60 @@ class DegNormEngine:
         be materialized locally.  Cross-gene column sums become psums over
         the gene shards; only the final (n, p) matrices are gathered.
 
-        Notes vs the host loop: updates run in the engine dtype (not
-        float64) and per-iteration checkpointing is unavailable."""
+        Per-iteration checkpoints gather the loop state to numpy (an
+        allgather collective every process participates in; the write is
+        coordinator-gated), so the file format matches the host loop's and
+        either loop can resume the other's run.
+
+        Note vs the host loop: updates run in the engine dtype (not
+        float64)."""
         import time as _time
         idx_parts = tuple(
             jnp.asarray(np.asarray(b.gene_indices, np.int32))
             for b in self._buckets)
         x_d = jnp.asarray(x, dtype)
 
+        # ---- resume from checkpoint? (mirrors the host loop) ----
+        start_iter = 0
+        ran_restored = np.zeros((n, 0), dtype=bool)
+        ckpt = None
+        if checkpoint_dir:
+            from degnorm_tpu.pipeline.checkpoints import load_checkpoint
+            ckpt = load_checkpoint(checkpoint_dir, genes)
+            if ckpt and ckpt["iteration"] + 1 < self.nmf_cfg.degnorm_iter:
+                start_iter = ckpt["iteration"] + 1
+                ran_restored = np.asarray(
+                    ckpt["ran_baseline_selection"][:, :start_iter], bool)
+            else:
+                ckpt = None
+
         t0 = _time.perf_counter()
-        init_out = [_bucket_init(F_d, m_d, self.eng_cfg,
-                                 mesh=self._bucket_mesh(i),
-                                 mesh_axis=self.eng_cfg.mesh_axis,
-                                 column_sharded=self._col_sharded(i))
-                    for i, (F_d, m_d) in enumerate(
-                        zip(self._device_F, self._device_mask))]
-        x_weighted, norm = _device_init_state(
-            tuple(cs.astype(dtype) for cs, _ in init_out),
-            tuple(es.astype(dtype) for _, es in init_out),
-            idx_parts, x_d, n)
-        scale = norm
+        if ckpt is not None:
+            # all processes load the same shared file, so these host-local
+            # arrays are identical everywhere (same replication contract
+            # as x_d above)
+            st = ckpt["state"]
+            x_weighted = jnp.asarray(st.x_weighted, dtype)
+            norm = jnp.asarray(st.norm_factors, dtype)
+            scale = jnp.asarray(st.scale_factors, dtype)
+        else:
+            init_out = [_bucket_init(F_d, m_d, self.eng_cfg,
+                                     mesh=self._bucket_mesh(i),
+                                     mesh_axis=self.eng_cfg.mesh_axis,
+                                     column_sharded=self._col_sharded(i))
+                        for i, (F_d, m_d) in enumerate(
+                            zip(self._device_F, self._device_mask))]
+            x_weighted, norm = _device_init_state(
+                tuple(cs.astype(dtype) for cs, _ in init_out),
+                tuple(es.astype(dtype) for _, es in init_out),
+                idx_parts, x_d, n)
+            scale = norm
         self.timings["init"] = _time.perf_counter() - t0
 
         ran_cols = []
         rho = x_adj = None
         t0 = _time.perf_counter()
-        for it in range(self.nmf_cfg.degnorm_iter):
+        for it in range(start_iter, self.nmf_cfg.degnorm_iter):
             t_it = _time.perf_counter()
             final = it == self.nmf_cfg.degnorm_iter - 1
             results = [
@@ -573,6 +620,10 @@ class DegNormEngine:
             ran_cols.append(_device_scatter(
                 tuple(r.ran_bs for r in results), idx_parts, n, False))
             self.timings[f"iter_{it}"] = _time.perf_counter() - t_it
+            if checkpoint_dir:
+                self._save_device_checkpoint(
+                    checkpoint_dir, it, x, rho, x_adj, x_weighted, norm,
+                    scale, ran_restored, ran_cols, genes)
         self.timings["iterations"] = _time.perf_counter() - t0
 
         self._last_results = results
@@ -581,7 +632,10 @@ class DegNormEngine:
         self._genes = genes
         self._cov_mats = cov_mats
 
-        ran_bs = np.stack([self._gather(c) for c in ran_cols], axis=1)
+        ran_bs = np.concatenate(
+            [ran_restored]
+            + [np.asarray(self._gather(c), bool)[:, None] for c in ran_cols],
+            axis=1)
         return DegNormResult(
             genes=genes,
             rho=self._gather(rho).astype(np.float64),

@@ -81,3 +81,53 @@ def test_device_loop_on_mesh():
         mesh=make_mesh()).run(cov, X)
     np.testing.assert_allclose(dev.rho, host.rho, rtol=1e-12)
     np.testing.assert_allclose(dev.x_adj, host.x_adj, rtol=1e-12)
+
+
+DEV_ENG = EngineConfig(rank1_method="power", dtype="float64",
+                       bucket_widths=(256, 512, 1024), device_loop=True)
+
+
+def test_device_loop_checkpoint_resume(tmp_path):
+    """The device-resident outer loop writes/resumes per-iteration
+    checkpoints just like the host loop (state gathered to numpy, same
+    file format)."""
+    cov, X = make_dataset(seed=9)
+    full = DegNormEngine(CFG, DEV_ENG).run(cov, X)
+
+    part_cfg = NMFConfig(nmf_iter=6, degnorm_iter=2)
+    DegNormEngine(part_cfg, DEV_ENG).run(cov, X, checkpoint_dir=str(tmp_path))
+    resumed = DegNormEngine(CFG, DEV_ENG).run(cov, X,
+                                              checkpoint_dir=str(tmp_path))
+
+    np.testing.assert_allclose(resumed.rho, full.rho, rtol=1e-12)
+    np.testing.assert_allclose(resumed.x_adj, full.x_adj, rtol=1e-12)
+    np.testing.assert_allclose(resumed.scale_factors, full.scale_factors,
+                               rtol=1e-12)
+    np.testing.assert_array_equal(resumed.ran_baseline_selection,
+                                  full.ran_baseline_selection)
+
+
+def test_cross_loop_checkpoint_interop(tmp_path):
+    """Checkpoints are interchangeable between the loops: a device-loop
+    partial run resumed by the host loop matches an uninterrupted host
+    fit (and vice versa)."""
+    cov, X = make_dataset(seed=9)
+    host_full = DegNormEngine(CFG, ENG).run(cov, X)
+
+    part_cfg = NMFConfig(nmf_iter=6, degnorm_iter=2)
+    dev_dir = tmp_path / "dev_ckpt"; dev_dir.mkdir()
+    DegNormEngine(part_cfg, DEV_ENG).run(cov, X,
+                                         checkpoint_dir=str(dev_dir))
+    host_resumed = DegNormEngine(CFG, ENG).run(cov, X,
+                                               checkpoint_dir=str(dev_dir))
+    np.testing.assert_allclose(host_resumed.rho, host_full.rho, rtol=1e-12)
+    np.testing.assert_allclose(host_resumed.x_adj, host_full.x_adj,
+                               rtol=1e-12)
+
+    host_dir = tmp_path / "host_ckpt"; host_dir.mkdir()
+    DegNormEngine(part_cfg, ENG).run(cov, X, checkpoint_dir=str(host_dir))
+    dev_resumed = DegNormEngine(CFG, DEV_ENG).run(cov, X,
+                                                  checkpoint_dir=str(host_dir))
+    np.testing.assert_allclose(dev_resumed.rho, host_full.rho, rtol=1e-12)
+    np.testing.assert_allclose(dev_resumed.scale_factors,
+                               host_full.scale_factors, rtol=1e-12)

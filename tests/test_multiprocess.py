@@ -167,11 +167,10 @@ def test_two_process_cli_multihost(tmp_path):
     run = os.path.join(out_base, runs[0])
     # worker ETL scratch cleaned up; no duplicate output tree
     assert not [p for p in os.listdir(run) if p.startswith(".etl_proc")]
-    # NB: no degnorm_checkpoint.npz here — the device-resident outer loop
-    # (multi-process mesh) documents per-iteration checkpointing as
-    # unavailable (engine.py _run_device_loop docstring)
+    # degnorm_checkpoint.npz: the device-resident outer loop gathers its
+    # state per iteration (collective) and the coordinator writes it
     for fname in ("degradation_index_scores.csv", "adjusted_read_counts.csv",
-                  "read_counts.csv", "degnorm.log"):
+                  "read_counts.csv", "degnorm_checkpoint.npz", "degnorm.log"):
         assert os.path.isfile(os.path.join(run, fname)), fname
 
     # DI parity vs a single-process run of the identical data

@@ -32,6 +32,9 @@ def dataset(tmp_path_factory):
 def run_cli(dataset, tmp_path, extra=()):
     from degnorm_tpu.cli import main
     out_base = str(tmp_path)
+    # -o must already exist (reference utils.py:334-336; validated by
+    # test_cli_flag_validation) — the helper creates it like a user would
+    os.makedirs(out_base, exist_ok=True)
     rc = main([
         "--bam-files", *dataset["bams"],
         "-g", dataset["gtf"],
@@ -198,6 +201,28 @@ def test_cli_flag_validation(dataset, tmp_path):
     with pytest.raises(SystemExit):
         parse_config(["--bam-dir", str(tmp_path / "nope"),
                       "-g", dataset["gtf"]])
+    # duplicate .bam names (utils.py:478-480)
+    with pytest.raises(SystemExit):
+        parse_config(["--bam-files", dataset["bams"][0], dataset["bams"][0],
+                      "-g", dataset["gtf"]])
+    # .bai validation (utils.py:443-457): count mismatch, extension, missing
+    with pytest.raises(SystemExit):
+        parse_config(base + ["--bai-files", "one.bai"])
+    with pytest.raises(SystemExit):
+        parse_config(base + ["--bai-files", "a.txt", "b.txt"])
+    with pytest.raises(SystemExit):
+        parse_config(base + ["--bai-files", str(tmp_path / "a.bai"),
+                             str(tmp_path / "b.bai")])
+    # output dir must exist (utils.py:334-336)
+    with pytest.raises(SystemExit):
+        parse_config(base + ["-o", str(tmp_path / "no_such_dir")])
+    # warm-start dir must exist (utils.py:367-369)
+    with pytest.raises(SystemExit):
+        parse_config(["-w", str(tmp_path / "no_warm")])
+    # warm start ignores simultaneously-supplied inputs (utils.py:370-379)
+    cfg = parse_config(base + ["-w", dataset["dir"]])
+    assert cfg.warm_start_dir and not cfg.bam_files
+    assert cfg.genome_annotation is None
     # the valid base still parses
     cfg = parse_config(base)
     assert len(cfg.bam_files) == 2
