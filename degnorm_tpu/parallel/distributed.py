@@ -85,3 +85,11 @@ def broadcast_string(s: str, max_len: int = 1024) -> str:
     out = np.asarray(multihost_utils.broadcast_one_to_all(arr))
     n = (int(out[0]) << 8) | int(out[1])
     return bytes(out[2:2 + n]).decode("utf-8")
+
+
+def barrier(name: str = "degnorm") -> None:
+    """Block until every process reaches the same point (the reference's
+    ``COMM.Barrier()``).  No-op in single-process jobs."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)

@@ -71,6 +71,38 @@ def configure_logger(output_dir: Optional[str] = None,
         log.addHandler(fh)
 
 
+def _shard_plot_genes(plot_genes, result_genes,
+                      process_index: int = 0, process_count: int = 1):
+    """This process's round-robin share of --plot-genes: case-insensitive
+    intersection with the fitted genes (CoverageLoader matches
+    case-insensitively, reference data_access.py:61-63), sorted for a
+    deterministic split across processes (the reference scatters plot
+    genes over ranks, __main_mpi__.py:461-488)."""
+    canon = {g.upper(): g for g in result_genes}
+    wanted = sorted({canon[g.upper()] for g in plot_genes
+                     if g.upper() in canon})
+    return wanted[process_index::process_count]
+
+
+def _plot_gene_shard(plot_genes, result_genes, output_dir: str) -> None:
+    """Plot this process's share of --plot-genes (all of them in
+    single-process runs).  Reads the saved run artifacts, so the
+    coordinator must have written them first."""
+    import jax
+    wanted = _shard_plot_genes(plot_genes, result_genes,
+                               jax.process_index(), jax.process_count())
+    if not wanted:
+        return
+    log.info("plotting coverage for %d gene(s): %s",
+             len(wanted), ", ".join(wanted))
+    try:
+        from degnorm_tpu.report.data_access import get_coverage_plots
+        get_coverage_plots(wanted, degnorm_dir=output_dir,
+                           save_dir=output_dir)
+    except Exception as e:   # plots must never fail the pipeline
+        log.warning("coverage plotting failed: %s", e)
+
+
 def run_pipeline(cfg: PipelineConfig, output_dir: Optional[str] = None,
                  mesh=None, write_outputs: bool = True) -> Dict:
     """Run the full DegNorm pipeline; returns a dict with the fit result,
@@ -133,6 +165,14 @@ def run_pipeline(cfg: PipelineConfig, output_dir: Optional[str] = None,
     estimates = OrderedDict(zip(result.genes, result.estimates()))
 
     if not write_outputs:
+        # multihost worker: plotting is scattered across processes (the
+        # reference scatters --plot-genes over ranks, __main_mpi__.py:
+        # 461-488) — wait for the coordinator's artifacts, then plot this
+        # process's share straight into the shared output directory
+        if cfg.plot_genes:
+            from degnorm_tpu.parallel.distributed import barrier
+            barrier("degnorm-outputs-written")
+            _plot_gene_shard(cfg.plot_genes, result.genes, output_dir)
         return {"result": result, "genes_df": genes_df,
                 "read_count_df": read_count_df, "sample_ids": sample_ids,
                 "output_dir": output_dir, "exon_df": exon_df}
@@ -144,15 +184,9 @@ def run_pipeline(cfg: PipelineConfig, output_dir: Optional[str] = None,
         result.ran_baseline_selection, estimates, sample_ids)
 
     if cfg.plot_genes:
-        try:
-            from degnorm_tpu.report.data_access import get_coverage_plots
-            gene_set = set(result.genes)
-            wanted = [g for g in cfg.plot_genes if g in gene_set]
-            if wanted:
-                get_coverage_plots(wanted, degnorm_dir=output_dir,
-                                   save_dir=output_dir)
-        except Exception as e:   # plots must never fail the pipeline
-            log.warning("coverage plotting failed: %s", e)
+        from degnorm_tpu.parallel.distributed import barrier
+        barrier("degnorm-outputs-written")
+        _plot_gene_shard(cfg.plot_genes, result.genes, output_dir)
 
     try:
         from degnorm_tpu.report.report import render_report

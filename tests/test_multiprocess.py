@@ -107,7 +107,8 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 from degnorm_tpu.cli import main
 rc = main(["--bam-files", *{bams!r}, "-g", {gtf!r}, "-o", {out!r},
-           "--nmf-iter", "4", "--iter", "1", "--multihost"])
+           "--nmf-iter", "4", "--iter", "1", "--multihost",
+           "--plot-genes", "gene000", "gene001"])
 assert rc == 0
 # post-run collective sanity: the output-dir broadcast primitive
 # round-trips arbitrary unicode from the coordinator
@@ -155,10 +156,12 @@ def test_two_process_cli_multihost(tmp_path):
         procs.append(subprocess.Popen(
             [sys.executable, str(script)], env=e,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
     for pid, pr in enumerate(procs):
         out, _ = pr.communicate(timeout=300)
         assert pr.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
         assert "CLI OK" in out
+        outs.append(out)
 
     # exactly ONE run directory — both processes agreed on the broadcast
     # name instead of racing create_output_dir
@@ -172,6 +175,17 @@ def test_two_process_cli_multihost(tmp_path):
     for fname in ("degradation_index_scores.csv", "adjusted_read_counts.csv",
                   "read_counts.csv", "degnorm_checkpoint.npz", "degnorm.log"):
         assert os.path.isfile(os.path.join(run, fname)), fname
+    # --plot-genes is scattered across processes (round-robin over the
+    # sorted case-insensitive intersection — the reference's plot scatter,
+    # __main_mpi__.py:461-488): the requested lowercase names resolve to
+    # the canonical GENE00x, proc0 plots GENE000 and proc1 GENE001
+    pngs = {f for f in os.listdir(os.path.join(run, "chr1"))
+            if f.endswith("_coverage.png")}
+    assert {"GENE000_coverage.png", "GENE001_coverage.png"} <= pngs, pngs
+    # (fitted gene names are lowercase; CoverageLoader upper-cases names
+    # for the plot files, like the reference's data_access.py:49)
+    assert "plotting coverage for 1 gene(s): gene000" in outs[0], outs[0][-2000:]
+    assert "plotting coverage for 1 gene(s): gene001" in outs[1], outs[1][-2000:]
 
     # DI parity vs a single-process run of the identical data
     from degnorm_tpu.cli import main
@@ -187,6 +201,24 @@ def test_two_process_cli_multihost(tmp_path):
     m1 = di_mh.set_index("gene")[["mh0", "mh1"]].sort_index()
     m2 = di_solo.set_index("gene")[["mh0", "mh1"]].sort_index()
     np.testing.assert_allclose(m1.values, m2.values, rtol=1e-4, atol=1e-6)
+
+
+def test_shard_plot_genes():
+    """The plot-gene scatter is deterministic, case-insensitive, disjoint,
+    and covering (reference scatter semantics, __main_mpi__.py:461-488 +
+    case-insensitive gene lookup, data_access.py:61-63)."""
+    from degnorm_tpu.pipeline.run import _shard_plot_genes
+
+    fitted = ["GENE2", "GENE0", "GENE1", "OTHER"]
+    req = ["gene1", "Gene0", "GENE2", "missing", "gene1"]
+    # single process: all matches, sorted, canonical casing, deduped
+    assert _shard_plot_genes(req, fitted) == ["GENE0", "GENE1", "GENE2"]
+    # two processes: disjoint round-robin cover
+    s0 = _shard_plot_genes(req, fitted, 0, 2)
+    s1 = _shard_plot_genes(req, fitted, 1, 2)
+    assert s0 == ["GENE0", "GENE2"] and s1 == ["GENE1"]
+    # no match -> empty shard everywhere
+    assert _shard_plot_genes(["nope"], fitted, 0, 2) == []
 
 
 def test_two_process_engine(tmp_path):
