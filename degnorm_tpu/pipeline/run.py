@@ -128,7 +128,8 @@ def run_pipeline(cfg: PipelineConfig, output_dir: Optional[str] = None,
         exon_df = warm["exon_df"]
     else:
         gene_cov_dict, read_count_df, genes_df, exon_df, sample_ids = (
-            _cold_start(cfg, output_dir, write_outputs=write_outputs))
+            _cold_start(cfg, output_dir, write_outputs=write_outputs,
+                        mesh=mesh))
 
     # ---- gene filters before NMF (reference __main__.py:221-238, plus the
     # MPI-only caps __main_mpi__.py:374-376, unified per SURVEY.md §7.2) ----
@@ -208,19 +209,29 @@ def run_pipeline(cfg: PipelineConfig, output_dir: Optional[str] = None,
 
 
 def _cold_start(cfg: PipelineConfig, output_dir: str,
-                write_outputs: bool = True):
+                write_outputs: bool = True, mesh=None):
     """BAM/GTF ETL (reference __main__.py:55-209)."""
     if not cfg.bam_files:
         raise ValueError("no .bam files supplied")
     if not cfg.genome_annotation:
         raise ValueError("no genome annotation (.gtf) supplied")
 
-    etl_dir = output_dir
-    if not write_outputs:
-        # multihost worker: per-sample scratch must not collide with the
-        # coordinator's on a shared filesystem
+    # multihost: .bam files are split across processes (the reference
+    # scatters them over MPI ranks, __main_mpi__.py:236-262) and the
+    # per-(sample, chrom) artifacts on the shared filesystem are the
+    # transport (the reference likewise hands coverage off through the
+    # shared FS, __main_mpi__.py:400-416).  Sample ownership is disjoint,
+    # so writes into the shared scratch never collide.
+    pcount, pindex = 1, 0
+    if mesh is not None or not write_outputs:
+        # only consult jax when a mesh already exists / we are a multihost
+        # worker — plain single-process runs must not initialize a device
+        # backend during ETL
         import jax
-        etl_dir = os.path.join(output_dir, f".etl_proc{jax.process_index()}")
+        pcount, pindex = jax.process_count(), jax.process_index()
+    etl_dir = output_dir
+    if pcount > 1:
+        etl_dir = os.path.join(output_dir, ".etl_shared")
         os.makedirs(etl_dir, exist_ok=True)
 
     bais = (list(cfg.bai_files) if cfg.bai_files
@@ -233,9 +244,14 @@ def _cold_start(cfg: PipelineConfig, output_dir: str,
             f"({len(cfg.bam_files)})")
     samples = [BamSampleProcessor(b, unique_alignment=cfg.unique_alignments,
                                   output_dir=etl_dir,
-                                  compat=cfg.cigar_compat,
-                                  bai_file=bai, stream=cfg.stream_etl)
-               for b, bai in zip(cfg.bam_files, bais)]
+                                  compat=cfg.cigar_compat, bai_file=bai,
+                                  # non-owned samples are loaded from the
+                                  # owner's artifacts, never decoded here —
+                                  # stream=False also keeps this process
+                                  # from racing the owner on .bai builds
+                                  stream=(cfg.stream_etl
+                                          if i % pcount == pindex else False))
+               for i, (b, bai) in enumerate(zip(cfg.bam_files, bais))]
     sample_ids = [s.sample_id for s in samples]
     if len(set(sample_ids)) < len(sample_ids):
         raise ValueError("duplicate sample IDs among .bam files")
@@ -258,10 +274,16 @@ def _cold_start(cfg: PipelineConfig, output_dir: str,
     # releases the GIL); each sample additionally threads over chromosomes
     from concurrent.futures import ThreadPoolExecutor
 
+    owned = [s for i, s in enumerate(samples) if i % pcount == pindex]
+    if pcount > 1:
+        log.info("multihost ETL: this process owns %d/%d sample(s): %s",
+                 len(owned), len(samples),
+                 ", ".join(s.sample_id for s in owned) or "(none)")
+
     # -p is a TOTAL host-thread budget (the reference's proc-per-node):
     # split it between the sample fan-out and each sample's per-chromosome
     # threads so p samples don't oversubscribe to n_jobs^2 threads
-    sample_workers = min(cfg.n_jobs, len(samples))
+    sample_workers = min(cfg.n_jobs, max(len(owned), 1))
     inner_jobs = max(1, cfg.n_jobs // max(sample_workers, 1))
 
     def etl(s: BamSampleProcessor):
@@ -272,25 +294,45 @@ def _cold_start(cfg: PipelineConfig, output_dir: str,
             overlap_by_chrom, gene_df, exon_df, n_jobs=inner_jobs)
 
     results = {}
-    if sample_workers > 1:
+    if sample_workers > 1 and len(owned) > 1:
         with ThreadPoolExecutor(max_workers=sample_workers) as ex:
-            for sid, r in ex.map(etl, samples):
+            for sid, r in ex.map(etl, owned):
                 results[sid] = r
     else:
-        for s in samples:
+        for s in owned:
             sid, r = etl(s)
             results[sid] = r
+
+    if pcount > 1:
+        # every owner has written its artifacts; load the peers' shards
+        # from the shared scratch (coverage_read_counts becomes a pure
+        # artifact load when everything exists)
+        from degnorm_tpu.parallel.distributed import barrier
+        barrier("degnorm-etl-shards")
+        for i, s in enumerate(samples):
+            if i % pcount == pindex:
+                continue
+            s.chroms = used_chroms
+            log.info("SAMPLE %s: loading peer shard from shared ETL scratch",
+                     s.sample_id)
+            results[s.sample_id] = s.coverage_read_counts(
+                overlap_by_chrom, gene_df, exon_df, n_jobs=inner_jobs)
 
     read_count_df = merge_read_counts(results, sample_ids, used_chroms)
     gene_cov_dict = merge_coverage(results, sample_ids, exon_df)
 
-    # clean up per-sample scratch (reference __main__.py:168-170)
-    for sid in sample_ids:
-        scratch = os.path.join(etl_dir, sid)
-        if os.path.isdir(scratch):
-            shutil.rmtree(scratch)
-    if not write_outputs:
-        shutil.rmtree(etl_dir, ignore_errors=True)
+    # clean up per-sample scratch (reference __main__.py:168-170); in
+    # multihost runs the shared scratch outlives the barrier so every
+    # process has loaded all shards before the coordinator removes it
+    if pcount > 1:
+        barrier("degnorm-etl-consumed")
+        if write_outputs:
+            shutil.rmtree(etl_dir, ignore_errors=True)
+    else:
+        for sid in sample_ids:
+            scratch = os.path.join(etl_dir, sid)
+            if os.path.isdir(scratch):
+                shutil.rmtree(scratch)
 
     # order counts/genes by coverage-dict order (reference __main__.py:175-190)
     genes = list(gene_cov_dict.keys())

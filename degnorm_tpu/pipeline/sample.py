@@ -156,7 +156,13 @@ class BamSampleProcessor:
         """All chromosomes (threaded), optionally persisting reference-layout
         artifacts for resume (reads.py:368-386 semantics)."""
         if not self.stream:
-            self._load_all()
+            # decode the whole file only if some chromosome actually needs
+            # computing: when every (sample, chrom) artifact already exists
+            # (mid-ETL resume, or a multihost peer's shard on the shared
+            # filesystem) this call is a pure load
+            if any(not (self.save_dir and self._artifacts_exist(c))
+                   for c in self.chroms):
+                self._load_all()
         results: Dict[str, ChromCoverage] = {}
 
         def work(chrom):
@@ -190,9 +196,14 @@ class BamSampleProcessor:
         )
 
     def _artifacts_exist(self, chrom) -> bool:
-        npz, pkl_f, csv = self._paths(chrom)
-        return os.path.isfile(csv) and (
-            os.path.isfile(npz) or os.path.isfile(pkl_f))
+        # the csv is written LAST in _save_artifacts, so its presence
+        # implies the npz/pkl (when the chromosome produced any coverage)
+        # are complete; a chromosome with zero isolated AND zero overlap
+        # coverage legitimately has only the csv (merge imputes zeros,
+        # like the reference's missing-sample-file rule,
+        # reads_coverage_merge.py:305-312)
+        _, _, csv = self._paths(chrom)
+        return os.path.isfile(csv)
 
     def _save_artifacts(self, cc: ChromCoverage) -> None:
         from scipy import sparse

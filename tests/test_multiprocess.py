@@ -168,8 +168,19 @@ def test_two_process_cli_multihost(tmp_path):
     runs = [p for p in os.listdir(out_base) if p.startswith("degnorm_")]
     assert len(runs) == 1, runs
     run = os.path.join(out_base, runs[0])
-    # worker ETL scratch cleaned up; no duplicate output tree
-    assert not [p for p in os.listdir(run) if p.startswith(".etl_proc")]
+    # shared ETL scratch cleaned up; no duplicate output tree
+    assert not [p for p in os.listdir(run) if p.startswith(".etl")]
+    # the ETL was SPLIT across processes (the reference scatters .bam
+    # files over ranks, __main_mpi__.py:236-262): each process decoded
+    # only its own sample and loaded the peer's from the shared scratch
+    for pid, mine, theirs in ((0, "mh0", "mh1"), (1, "mh1", "mh0")):
+        assert (f"multihost ETL: this process owns 1/2 sample(s): {mine}"
+                in outs[pid]), outs[pid][-3000:]
+        assert (f"SAMPLE {mine}: computing coverage/read counts"
+                in outs[pid])
+        assert (f"SAMPLE {theirs}: computing coverage/read counts"
+                not in outs[pid])
+        assert (f"SAMPLE {theirs}: loading peer shard" in outs[pid])
     # degnorm_checkpoint.npz: the device-resident outer loop gathers its
     # state per iteration (collective) and the coordinator writes it
     for fname in ("degradation_index_scores.csv", "adjusted_read_counts.csv",
