@@ -254,3 +254,39 @@ def test_pipeline_stream_etl_matches(dataset, tmp_path):
     a = pd.read_csv(os.path.join(out_on, "degradation_index_scores.csv"))
     b = pd.read_csv(os.path.join(out_off, "degradation_index_scores.csv"))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_resume_is_pure_artifact_load(dataset, tmp_path):
+    """When every per-(sample, chrom) artifact already exists, the mid-ETL
+    resume path (reference reads.py:368-386) must not decode the .bam at
+    all — coverage_read_counts becomes a pure artifact load.  This is also
+    the multihost peer-shard handoff path (run.py _cold_start)."""
+    from degnorm_tpu.io.gtf import process_annotation
+    from degnorm_tpu.io.overlap import overlap_structure
+    from degnorm_tpu.pipeline.sample import BamSampleProcessor
+
+    exon_df = process_annotation(dataset["gtf"])
+    gene_df = exon_df[["chr", "gene", "gene_start", "gene_end"]
+                      ].drop_duplicates().reset_index(drop=True)
+    ov = {c: overlap_structure(gene_df[gene_df.chr == c])
+          for c in exon_df.chr.unique()}
+
+    out = str(tmp_path / "etl")
+    s = BamSampleProcessor(dataset["bams"][0], output_dir=out, stream=False)
+    first = s.coverage_read_counts(ov, gene_df, exon_df)
+
+    s2 = BamSampleProcessor(dataset["bams"][0], output_dir=out, stream=False)
+    s2._load_all = None          # any decode attempt would raise TypeError
+    second = s2.coverage_read_counts(ov, gene_df, exon_df)
+
+    assert set(first) == set(second)
+    for chrom in first:
+        a, b = first[chrom], second[chrom]
+        assert a.read_counts == b.read_counts
+        np.testing.assert_array_equal(
+            np.asarray(a.isolated_coverage, dtype=float),
+            np.asarray(b.isolated_coverage, dtype=float))
+        assert set(a.overlap_coverage) == set(b.overlap_coverage)
+        for g in a.overlap_coverage:
+            np.testing.assert_array_equal(a.overlap_coverage[g],
+                                          b.overlap_coverage[g])
