@@ -103,20 +103,24 @@ def nmf_masked(
 
     K, E, u = masked_rank_one(F, mask, n_iters=power_iters_cold,
                               method=method, u0=u0)
-    lam = jnp.zeros_like(A0)
     step = 1.0 / jnp.sqrt(jnp.asarray(nmf_iter, F.dtype))
 
+    # X-form of the multiplier update (kept in lockstep with the fused
+    # kernel, ops/pallas_nmf.py::_nmf_loop): carrying X = A0 + lambda
+    # directly, the reference's  lam <- max(lam - step*(est - A0), 0)
+    # becomes  X <- max(X - step*(est - A0), A0)  — identical over the
+    # reals, one fewer elementwise pass on device; floating-point drift is
+    # reassociation-class only.  Masked columns stay exactly zero (est and
+    # A0 both vanish there, so max(0 - 0, 0) = 0).
     def body(_, carry):
-        lam, K, E, u = carry
+        X, K, E, u = carry
         est = outer_product(K, E)
-        lam = jnp.maximum(lam - step * (est - A0), 0.0)
-        # lam is zero on masked columns (est and A0 both vanish there), so
-        # A0 + lam stays exactly masked.
-        K, E, u = masked_rank_one(A0 + lam, mask, n_iters=power_iters_warm,
+        X = jnp.maximum(X - step * (est - A0), A0)
+        K, E, u = masked_rank_one(X, mask, n_iters=power_iters_warm,
                                   u0=u, method=method)
-        return lam, K, E, u
+        return X, K, E, u
 
-    lam, K, E, u = jax.lax.fori_loop(0, nmf_iter, body, (lam, K, E, u))
+    X, K, E, u = jax.lax.fori_loop(0, nmf_iter, body, (A0, K, E, u))
     return K, E, u
 
 

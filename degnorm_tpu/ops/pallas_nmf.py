@@ -244,9 +244,19 @@ def _nmf_loop(A0, lam_ref, *, nmf_iter, power_cold, power_warm, gram_mode,
               warm_plain=0, u0=None):
     """The full Lagrangian NMF-OA loop on a VMEM-resident block.
 
-    ``lam_ref`` is a (BG, p, W) VMEM scratch for the multipliers; it is
-    re-zeroed here, so the same scratch can be reused across calls (the
-    fused trim kernel calls this once per trim round).
+    ``lam_ref`` is a (BG, p, W) VMEM scratch reused across calls (the fused
+    trim kernel calls this once per trim round).  With f32 storage it holds
+    ``X = A0 + lambda`` directly (X-form): the reference's update
+
+        lam <- max(lam - step*(est - A0), 0);  X = A0 + lam
+
+    is algebraically  ``X <- max(X - step*(est - A0), A0)``  with X0 = A0 —
+    one fewer block-sized VPU op per iteration, and the loop is VPU-
+    throughput bound (measured 1.24x whole-kernel, tools/r2_xform_ab.py).
+    f32-reassociation drift only; the XLA twin (core/nmf.py) uses the same
+    form so kernel<->XLA parity is unaffected.  bf16 multiplier storage
+    (EngineConfig.lam_dtype, opt-in) keeps the lambda-form: rounding X
+    would scale the storage error by X's magnitude instead of lambda's.
 
     ``u0``: optional warm start for the cold rank-1 (the trim loop passes
     the previous round's left vectors with ``power_cold`` already reduced
@@ -256,24 +266,39 @@ def _nmf_loop(A0, lam_ref, *, nmf_iter, power_cold, power_warm, gram_mode,
         u0 = jnp.full((BG, p), 1.0 / (p ** 0.5), A0.dtype)
 
     K, E, u = _rank1(A0, u0, power_cold, gram_mode)
-    lam_ref[:] = jnp.zeros(lam_ref.shape, lam_ref.dtype)
     step = 1.0 / (nmf_iter ** 0.5)
+    lam_form = lam_ref.dtype != A0.dtype          # bf16 opt-in storage
 
-    def body(_, carry):
-        # The multipliers may be STORED bf16 (EngineConfig.lam_dtype) —
-        # the update runs f32 and the unrounded value feeds this
-        # iteration's X, so rounding enters once per iteration.
-        K, E, u = carry
-        est = K[:, :, None] * E[:, None, :]
-        lam = jnp.maximum(lam_ref[:].astype(A0.dtype) - step * (est - A0),
-                          0.0)
-        lam_ref[:] = lam.astype(lam_ref.dtype)
-        return _rank1(A0 + lam, u, power_warm, gram_mode,
-                      warm_plain=warm_plain)
+    if lam_form:
+        lam_ref[:] = jnp.zeros(lam_ref.shape, lam_ref.dtype)
+
+        def body(_, carry):
+            # The multipliers are STORED bf16 (EngineConfig.lam_dtype) —
+            # the update runs f32 and the unrounded value feeds this
+            # iteration's X, so rounding enters once per iteration.
+            K, E, u = carry
+            est = K[:, :, None] * E[:, None, :]
+            lam = jnp.maximum(
+                lam_ref[:].astype(A0.dtype) - step * (est - A0), 0.0)
+            lam_ref[:] = lam.astype(lam_ref.dtype)
+            return _rank1(A0 + lam, u, power_warm, gram_mode,
+                          warm_plain=warm_plain)
+    else:
+        lam_ref[:] = A0
+
+        def body(_, carry):
+            K, E, u = carry
+            est = K[:, :, None] * E[:, None, :]
+            X = jnp.maximum(lam_ref[:] - step * (est - A0), A0)
+            lam_ref[:] = X
+            return _rank1(X, u, power_warm, gram_mode,
+                          warm_plain=warm_plain)
 
     K, E, u = jax.lax.fori_loop(0, nmf_iter, body, (K, E, u))
     if gram_mode == "packed_slice":
-        E = _refine_E_f32(A0 + lam_ref[:].astype(A0.dtype), K, u)
+        X_fin = (A0 + lam_ref[:].astype(A0.dtype) if lam_form
+                 else lam_ref[:])
+        E = _refine_E_f32(X_fin, K, u)
     return K, E, u
 
 

@@ -4,10 +4,11 @@ The fused kernel (ops/pallas_nmf.py) keeps ~7 (bg, p, W)-sized blocks of
 working set VMEM-resident (coverage, multipliers, estimate, packed panels,
 temporaries), which caps p*W: at p=32 only W<=1024 fits, so wider buckets
 previously fell back to the plain XLA lowering (~5 HBM materializations
-per inner iteration).  This kernel keeps ONLY the Lagrange multipliers
-VMEM-resident — one (bg, p, W) block — and streams the (constant) masked
-coverage A0 through two double-buffered W-chunks with explicit DMA, using
-the identity
+per inner iteration).  This kernel keeps ONLY the Lagrangian state
+VMEM-resident — one (bg, p, W) block holding X = A0 + lambda (the X-form
+of the update, ops/pallas_nmf.py::_nmf_loop) — and streams the (constant)
+masked coverage A0 through two double-buffered W-chunks with explicit DMA,
+using the identity
 
     est = K (.) E = u u^T X        (s cancels)
 
@@ -15,10 +16,12 @@ to merge the multiplier update and the next Gram accumulation into ONE
 sweep per Lagrangian iteration:
 
     per chunk c:  load A0_c (DMA, overlapped);
-                  w_c    = u^T (A0_c + lam_c)         # E of the previous
-                  lam'_c = max(lam_c - step (u w_c - A0_c), 0)
-                  B     += gram(A0_c + lam'_c)         # next iteration's u
+                  w_c  = u^T X_c                      # E of the previous
+                  X'_c = max(X_c - step (u w_c - A0_c), A0_c)
+                  B   += gram(X'_c)                   # next iteration's u
     then          u <- power(B, u)
+
+(the final E sweep reads the resident X and needs no A0 DMA at all)
 
 HBM traffic is ONE p*W-sized A0 read per inner iteration (the multipliers
 never leave VMEM) vs the XLA path's ~5 materializations; all elementwise
@@ -141,10 +144,14 @@ def _stream_kernel(act_ref, f_any, mask_ref, scale_ref, u0_ref,
     def _():
         step = 1.0 / (nmf_iter ** 0.5)
 
-        # ---- cold sweep: Gram of A0; zero the resident multipliers ----
-        lam[:] = jnp.zeros(lam.shape, dtype)
-        B = sweep(lambda c, a0, B: B + _gram_chunk(a0, gram_mode),
-                  jnp.zeros((bg, p, p), dtype))
+        # ---- cold sweep: Gram of A0; seed the resident X with A0 ----
+        # (X-form of the multiplier update, see ops/pallas_nmf.py::
+        # _nmf_loop — the ``lam`` scratch holds X = A0 + lambda)
+        def cold(c, a0, B):
+            lam[:, :, c * chunk_w:(c + 1) * chunk_w] = a0
+            return B + _gram_chunk(a0, gram_mode)
+
+        B = sweep(cold, jnp.zeros((bg, p, p), dtype))
 
         if resume:
             u = _power(B, u0_ref[:], power_cold)
@@ -157,13 +164,12 @@ def _stream_kernel(act_ref, f_any, mask_ref, scale_ref, u0_ref,
             u, _B = carry
 
             def chunk(c, a0, B):
-                lamc = lam[:, :, c * chunk_w:(c + 1) * chunk_w]
-                x_prev = a0 + lamc
-                w = jnp.sum(x_prev * u[:, :, None], axis=1)   # (bg, Wc)
+                xc = lam[:, :, c * chunk_w:(c + 1) * chunk_w]
+                w = jnp.sum(xc * u[:, :, None], axis=1)       # (bg, Wc)
                 est = u[:, :, None] * w[:, None, :]
-                lam_new = jnp.maximum(lamc - step * (est - a0), 0.0)
-                lam[:, :, c * chunk_w:(c + 1) * chunk_w] = lam_new
-                return B + _gram_chunk(a0 + lam_new, gram_mode)
+                x_new = jnp.maximum(xc - step * (est - a0), a0)
+                lam[:, :, c * chunk_w:(c + 1) * chunk_w] = x_new
+                return B + _gram_chunk(x_new, gram_mode)
 
             B = sweep(chunk, jnp.zeros((bg, p, p), dtype))
             u = (_power_warm(B, u, warm_plain) if warm_plain
@@ -175,14 +181,12 @@ def _stream_kernel(act_ref, f_any, mask_ref, scale_ref, u0_ref,
         Bu = jnp.sum(B * u[:, None, :], axis=2)
         s = jnp.sqrt(jnp.maximum(jnp.sum(u * Bu, axis=1), 0.0))  # (bg,)
 
-        # ---- final sweep: E = X^T u / s (f32) ----
-        def e_chunk(c, a0, _):
-            x = a0 + lam[:, :, c * chunk_w:(c + 1) * chunk_w]
+        # ---- final pass: E = X^T u / s (f32) — X is VMEM-resident, so
+        # this needs no A0 DMA sweep at all ----
+        for c in range(nc):
+            x = lam[:, :, c * chunk_w:(c + 1) * chunk_w]
             w = jnp.sum(x * u[:, :, None], axis=1)
             e_ref[:, c * chunk_w:(c + 1) * chunk_w] = w / (s[:, None] + _EPS)
-            return _
-
-        sweep(e_chunk, 0)
         k_ref[:] = u * s[:, None]
         u_ref[:] = u
 

@@ -81,10 +81,16 @@ def _trim_kernel(fm_ref, binid_ref, bincnt_ref, k0_ref, e0_ref, rho0_ref,
         bin_ids = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
         bin_active0 = (bin_ids.astype(dtype) < nbins_ref[:]).astype(dtype)
 
+        lam_form = lam_ref.dtype != dtype       # bf16 opt-in storage
         if fast:
             # warm-start mode: multipliers persist across rounds in the
-            # scratch (masked to surviving columns each round)
-            lam_ref[:] = jnp.zeros(lam_ref.shape, lam_ref.dtype)
+            # scratch (masked to surviving columns each round).  f32
+            # storage holds X = A0 + lambda (X-form, see _nmf_loop):
+            # initializing to Fm encodes lambda = 0 on every column, and
+            # the cross-round mask X <- X*can equals A0_new + lambda*can
+            # exactly (surviving columns keep Fm, dropped ones zero).
+            lam_ref[:] = (jnp.zeros(lam_ref.shape, lam_ref.dtype)
+                          if lam_form else Fm)
 
         def cond(st):
             return (jnp.max(st[7]) > 0) & (st[10] < max_rounds)
@@ -132,24 +138,35 @@ def _trim_kernel(fm_ref, binid_ref, bincnt_ref, k0_ref, e0_ref, rho0_ref,
                 # EngineConfig.trim_fast — an opt-in numeric deviation.
                 n_it = max(nmf_iter // 4, 8)
                 step = 1.0 / (n_it ** 0.5)
-                lam_masked = lam_ref[:].astype(dtype) * can[:, None, :]
-                lam_ref[:] = lam_masked.astype(lam_ref.dtype)
-                Kc, Ec, uc = _rank1(A0 + lam_masked, u, power_warm,
-                                    gram_mode)
+                if lam_form:
+                    lam_masked = lam_ref[:].astype(dtype) * can[:, None, :]
+                    lam_ref[:] = lam_masked.astype(lam_ref.dtype)
+                    X0 = A0 + lam_masked
+                else:
+                    X0 = lam_ref[:] * can[:, None, :]   # = A0 + lam*can
+                    lam_ref[:] = X0
+                Kc, Ec, uc = _rank1(X0, u, power_warm, gram_mode)
 
                 def fbody(_, carry):
                     Kc, Ec, uc = carry
                     est = Kc[:, :, None] * Ec[:, None, :]
-                    lam = jnp.maximum(
-                        lam_ref[:].astype(dtype) - step * (est - A0), 0.0)
-                    lam_ref[:] = lam.astype(lam_ref.dtype)
-                    return _rank1(A0 + lam, uc, power_warm, gram_mode,
+                    if lam_form:
+                        lam = jnp.maximum(
+                            lam_ref[:].astype(dtype) - step * (est - A0),
+                            0.0)
+                        lam_ref[:] = lam.astype(lam_ref.dtype)
+                        X = A0 + lam
+                    else:
+                        X = jnp.maximum(lam_ref[:] - step * (est - A0), A0)
+                        lam_ref[:] = X
+                    return _rank1(X, uc, power_warm, gram_mode,
                                   warm_plain=warm_plain)
 
                 Kn, En, un = jax.lax.fori_loop(0, n_it, fbody, (Kc, Ec, uc))
                 if gram_mode == "packed_slice":
-                    En = _refine_E_f32(A0 + lam_ref[:].astype(dtype),
-                                       Kn, un)
+                    X_fin = (A0 + lam_ref[:].astype(dtype) if lam_form
+                             else lam_ref[:])
+                    En = _refine_E_f32(X_fin, Kn, un)
             else:
                 # cold rank-1 warm-started from the previous round's left
                 # vector at the reduced resume iteration count (the Perron
