@@ -26,7 +26,7 @@ REF_GENES = int(os.environ.get("BENCH_REF_GENES", 12))
 # The timed window includes one host->device upload whose relay bandwidth
 # fluctuates several-fold between runs; best-of-N isolates engine speed
 # from relay luck (each repeat still pays pack+upload+init+iterations).
-REPEATS = int(os.environ.get("BENCH_REPEATS", 2))
+REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
 SKIP_BS = os.environ.get("BENCH_SKIP_BS", "0") == "1"
 TRIM_FAST = os.environ.get("BENCH_TRIM_FAST", "0") == "1"
 # "dense": every gene degrades (worst case — most genes trim deep).

@@ -133,10 +133,15 @@ class EngineConfig:
     # Warm-restart power steps per Lagrangian iteration: > 0 replaces the
     # squared-operator scheme (normalize + square the Gram, then
     # power_iters_warm/4 doubled steps) with this many plain matvecs —
-    # measured numerically identical (the warm u is already near the
-    # Perron vector) at a fraction of the per-iteration op count.
+    # the warm u is already near the Perron vector, so very few plain
+    # steps suffice.  Default 2: engine-level A/B vs 4 (tools/r2_warm_ab.py,
+    # 4096-gene bench workload) measured DI drift mean 3.2e-5 / max 1.6e-2
+    # at one borderline gene with ZERO baseline-selection decision flips —
+    # the same precision class as power_iters_resume — while the
+    # trim-kernel scan (tools/r2_trim_scan.py) attributes ~7-9% of the
+    # dense-workload trim cost to the extra matvecs.
     # 0 = squared scheme (the cold-start path always uses it).
-    power_warm_plain: int = 4
+    power_warm_plain: int = 2
     # Storage dtype of the Lagrange-multiplier block inside the Pallas
     # kernels (the largest VMEM-resident scratch, read+written every inner
     # iteration): "f32", "bf16", or "auto" (= f32: the engine A/B,
