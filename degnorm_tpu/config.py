@@ -151,6 +151,15 @@ class EngineConfig:
     # multipliers to 8 mantissa bits once per inner iteration (update and
     # factors stay f32); measured DI drift mean ~1e-4.
     lam_dtype: str = "auto"
+    # Fraction of the Pallas kernels' VMEM budget available to block
+    # sizing.  The empirical live-buffer multipliers in ops/pallas_nmf.py
+    # are probed per compile environment and that environment can drift
+    # between sessions (the remote compile helper's scoped-VMEM
+    # accounting changed once mid-development); on a scoped-VMEM compile
+    # failure the engine retries the fit once at a reduced fraction
+    # (smaller gene blocks, same kernels) before falling back to the XLA
+    # lowering wholesale.
+    vmem_frac: float = 1.0
     # Computation dtype on device. float32 is TPU-native; the golden oracle
     # runs float64 on host for parity gating.
     dtype: str = "float32"

@@ -137,6 +137,7 @@ def baseline_select_bucket(
         stream=eng_cfg.stream_nmf,
         F_raw=F_raw,
         scale=scale,
+        vmem_frac=eng_cfg.vmem_frac,
     )
 
     # ---- high-coverage mask (nmf.py:66-76,220) ----
@@ -238,7 +239,8 @@ def baseline_select_bucket(
             min_bins=nmf_cfg.min_bins,
             min_gene_len=nmf_cfg.min_gene_len,
             fast=eng_cfg.trim_fast,
-            interpret=eng_cfg.pallas_interpret)
+            interpret=eng_cfg.pallas_interpret,
+            vmem_frac=eng_cfg.vmem_frac)
         st = state0._replace(K=K_t, rho=rho_t, ran_bs=ran_bs_t,
                              rounds_active=rounds_t)
         return _finalize_bucket(F, Fm, lm_f, hi_f, len_mask, K0, E0, rho0,

@@ -39,6 +39,7 @@ def nmf_masked(
     stream: bool = True,
     F_raw: Optional[jnp.ndarray] = None,
     scale: Optional[jnp.ndarray] = None,
+    vmem_frac: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the NMF-OA loop on a masked gene bucket.
 
@@ -77,7 +78,8 @@ def nmf_masked(
                 gram_mode=gram_mode,
                 power_warm_plain=power_warm_plain,
                 u0=u0,
-                lam_dtype=lam_dtype)
+                lam_dtype=lam_dtype,
+                vmem_frac=vmem_frac)
         # Too wide for VMEM residency: stream W-chunks through VMEM with
         # the multipliers HBM-resident (ops/pallas_stream.py) rather than
         # dropping to the XLA lowering.  The streamed kernel stores f32
@@ -133,6 +135,7 @@ def ratio_svd_rowsums(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     gram_mode: str = "auto",
+    vmem_frac: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Row sums of the one-shot clipped rank-1 over-approximation.
 
@@ -146,7 +149,8 @@ def ratio_svd_rowsums(
         if pallas_supported(F.shape, F.dtype):
             return ratio_rowsums_pallas(F, mask, power_iters=power_iters,
                                         gram_mode=gram_mode,
-                                        interpret=pallas_interpret)
+                                        interpret=pallas_interpret,
+                                        vmem_frac=vmem_frac)
     m = mask.astype(F.dtype)
     K, E, _ = masked_rank_one(F, mask, n_iters=power_iters, method=method)
     est = jnp.maximum(outer_product(K, E), F * m[:, None, :])

@@ -109,6 +109,15 @@ def _bucket_step(F, len_mask, scale_factors, ds_start, nmf_cfg: NMFConfig,
 
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _permute_on_device(F, len_mask, perm):
+    """Gene-axis gather of a bucket's device buffers in ONE jitted dispatch.
+    Eager jnp.take round-trips the device relay per op (~100 ms each, two
+    buckets x two arrays = ~0.4 s per reorder); a jitted call dispatches
+    async and the old buffers are donated (no transient 2x HBM)."""
+    return jnp.take(F, perm, axis=0), jnp.take(len_mask, perm, axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def _device_scatter(parts, idx_parts, n, fill):
     """Scatter per-bucket per-gene rows into a global (n, ...) array on
@@ -168,7 +177,8 @@ def _bucket_init(F, len_mask, eng_cfg: EngineConfig,
                                  method=eng_cfg.rank1_method,
                                  use_pallas=use_pallas,
                                  pallas_interpret=eng_cfg.pallas_interpret,
-                                 gram_mode=eng_cfg.gram_mode)
+                                 gram_mode=eng_cfg.gram_mode,
+                                 vmem_frac=eng_cfg.vmem_frac)
 
     if mesh is not None and mesh.devices.size > 1:
         return _shard_map_genes(init, mesh, mesh_axis, (F, len_mask), ())
@@ -356,27 +366,36 @@ class DegNormEngine:
         checkpointing, SURVEY.md §5.4).
 
         If a Pallas kernel fails to compile on an unforeseen shape
-        (Mosaic/scoped-VMEM errors), the fit is retried once on the plain
-        XLA path rather than aborting the run."""
+        (Mosaic/scoped-VMEM errors), the fit is retried — first once with
+        smaller gene blocks (EngineConfig.vmem_frac halved; the empirical
+        VMEM model is probed per compile environment and the environment
+        can drift between sessions), then on the plain XLA path."""
         import dataclasses as _dc
-        try:
-            return self._run(cov_dat, reads_dat, checkpoint_dir)
-        except Exception as e:
-            msg = str(e)
-            low = msg.lower()
-            pallas_issue = any(s in low for s in
-                               ("vmem", "mosaic", "tpu_custom_call"))
-            if not (pallas_issue and self.eng_cfg.use_pallas):
-                raise
-            import logging
-            logging.getLogger("degnorm_tpu").warning(
-                "Pallas kernel failed (%s...); retrying on the XLA path",
-                msg[:200])
-            self.eng_cfg = _dc.replace(self.eng_cfg, use_pallas=False)
-            self._buckets = []
-            self._device_F = []
-            self._device_mask = []
-            return self._run(cov_dat, reads_dat, checkpoint_dir)
+        while True:
+            try:
+                return self._run(cov_dat, reads_dat, checkpoint_dir)
+            except Exception as e:
+                msg = str(e)
+                low = msg.lower()
+                pallas_issue = any(s in low for s in
+                                   ("vmem", "mosaic", "tpu_custom_call"))
+                if not (pallas_issue and self.eng_cfg.use_pallas):
+                    raise
+                import logging
+                if self.eng_cfg.vmem_frac > 0.5:
+                    logging.getLogger("degnorm_tpu").warning(
+                        "Pallas kernel failed (%s...); retrying with "
+                        "halved gene blocks", msg[:200])
+                    self.eng_cfg = _dc.replace(self.eng_cfg, vmem_frac=0.5)
+                else:
+                    logging.getLogger("degnorm_tpu").warning(
+                        "Pallas kernel failed (%s...); retrying on the "
+                        "XLA path", msg[:200])
+                    self.eng_cfg = _dc.replace(self.eng_cfg,
+                                               use_pallas=False)
+                self._buckets = []
+                self._device_F = []
+                self._device_mask = []
 
     def _run(self, cov_dat: Mapping[str, np.ndarray],
              reads_dat: np.ndarray,
@@ -655,9 +674,9 @@ class DegNormEngine:
         it is only read for its shape (copying the multi-hundred-MB host
         array costs seconds and nothing consumes its contents again)."""
         b = self._buckets[i]
-        pj = jnp.asarray(perm)
-        self._device_F[i] = jnp.take(self._device_F[i], pj, axis=0)
-        self._device_mask[i] = jnp.take(self._device_mask[i], pj, axis=0)
+        pj = jnp.asarray(perm.astype(np.int32))
+        self._device_F[i], self._device_mask[i] = _permute_on_device(
+            self._device_F[i], self._device_mask[i], pj)
         b.lengths = b.lengths[perm]
         b.gene_indices = b.gene_indices[perm]
 

@@ -32,12 +32,32 @@ _EPS = 1e-30
 # VMEM sizing model: the compiler must fit the double-buffered input
 # block, the lambda scratch, and the elementwise/Gram transients in the
 # 16 MB scoped VMEM. We budget 13 MB (Mosaic needs slack) against an
-# empirical live-buffer multiplier per kernel (NMF ~7 blocks, trim ~8) —
-# measured 17.7 MB actual at a naive 4-block model with p=32, hence the
-# conservative factors.
+# empirical live-buffer multiplier per kernel — measured 17.7 MB actual
+# at a naive 4-block model with p=32, hence the conservative factors.
+# Re-probed on hardware after the X-form update with FRESH compiles at
+# production static params (tools/r2_block_probe2.py — the persistent
+# compile cache can mask environment drift, and scoped-VMEM accounting
+# is sensitive to the kernel's static loop parameters, so only
+# production-param fresh-compile evidence counts).  Three observed
+# hazards shape the factors:
+#   * trim at p=8 W=1024 bg=64 compiles STANDALONE but fails inside the
+#     real _bucket_step program at 16.44M/16.00M — the surrounding
+#     program adds ~0.5M of scoped-VMEM stack, so the model keeps
+#     >= 1.5M in-context slack (trim 7.0 -> bg=56, ~14.4M);
+#   * trim p=32 W=512 bg=32 rejected at 16.25M (p>16 keeps factor 8);
+#   * a 2 MiB-block config (bg*p*W*4 = 64*8*1024*4) sits exactly at the
+#     failure boundary regardless of how bg/p/W compose it.
+# If the environment drifts again, the engine soft-retries the fit with
+# vmem_frac=0.5 (half-size blocks) before falling back to XLA.
 _VMEM_BUDGET = 13 * 1024 * 1024
-_NMF_BLOCKS = 7
-_TRIM_BLOCKS = 8
+
+
+def _nmf_blocks(p: int) -> float:
+    return 6.0 if p <= 16 else 7.0
+
+
+def _trim_blocks(p: int) -> float:
+    return 7.0 if p <= 16 else 8.0
 
 
 def _gram(X):
@@ -347,6 +367,7 @@ def ratio_rowsums_pallas(
     power_iters: int = 30,
     gram_mode: str = "auto",
     interpret: bool = False,
+    vmem_frac: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused Pallas path of core.nmf.ratio_svd_rowsums (same numerics up to
     f32 reduction order)."""
@@ -354,7 +375,7 @@ def ratio_rowsums_pallas(
     A0 = F * mask.astype(F.dtype)[:, None, :]
     if gram_mode == "auto":
         gram_mode = "vpu" if interpret else "packed_slice"
-    bg = pick_block_genes(G, p, W)
+    bg = pick_block_genes(G, p, W, vmem_frac=vmem_frac)
     G_pad = ((G + bg - 1) // bg) * bg
     if G_pad != G:
         A0 = jnp.pad(A0, ((0, G_pad - G), (0, 0), (0, 0)))
@@ -391,17 +412,19 @@ def _resolve_lam_dtype(lam_dtype: str, p: int, interpret: bool):
 
 
 def pick_block_genes(G: int, p: int, W: int, dtype_bytes: int = 4,
-                     lam_bf16: bool = False) -> int:
-    """Largest gene-block whose working set (~_NMF_BLOCKS live (bg, p, W)
+                     lam_bf16: bool = False, vmem_frac: float = 1.0) -> int:
+    """Largest gene-block whose working set (~_nmf_blocks(p) live (bg, p, W)
     buffers: double-buffered A0, lambda, est/X transients, Gram packing)
     fits the VMEM budget.  Must be a multiple of 8: the gene axis is the
     second-to-last dim of the (bg, p)/(bg, W) output blocks and TPU tiling
     requires sublane divisibility.  ``lam_bf16`` halves the lambda
-    scratch's share of the budget."""
-    per_gene = _NMF_BLOCKS * p * W * dtype_bytes
+    scratch's share of the budget.  ``vmem_frac`` scales the budget down —
+    the engine's soft retry after a scoped-VMEM compile failure
+    (EngineConfig.vmem_frac)."""
+    per_gene = int(_nmf_blocks(p) * p * W * dtype_bytes)
     if lam_bf16:
         per_gene -= p * W * dtype_bytes // 2
-    bg = (_VMEM_BUDGET // per_gene) // 8 * 8
+    bg = (int(_VMEM_BUDGET * vmem_frac) // per_gene) // 8 * 8
     return int(max(8, min(bg, ((G + 7) // 8) * 8)))
 
 
@@ -419,6 +442,7 @@ def nmf_masked_pallas(
     power_warm_plain: int = 0,
     u0: Optional[jnp.ndarray] = None,
     lam_dtype: str = "auto",
+    vmem_frac: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for core.nmf.nmf_masked (method="power").
 
@@ -441,7 +465,7 @@ def nmf_masked_pallas(
     A0 = F * mask.astype(F.dtype)[:, None, :]
     lam_jdtype = _resolve_lam_dtype(lam_dtype, p, interpret)
     bg = block_genes or pick_block_genes(
-        G, p, W, lam_bf16=lam_jdtype == jnp.bfloat16)
+        G, p, W, lam_bf16=lam_jdtype == jnp.bfloat16, vmem_frac=vmem_frac)
     # pad G to a multiple of the block size (zero genes are harmless)
     G_pad = ((G + bg - 1) // bg) * bg
     if G_pad != G:
@@ -504,4 +528,4 @@ def pallas_supported(F_shape, dtype) -> bool:
     G, p, W = F_shape
     return (jnp.dtype(dtype) == jnp.float32
             and W % 128 == 0
-            and 8 * _NMF_BLOCKS * p * W * 4 <= _VMEM_BUDGET)
+            and 8 * _nmf_blocks(p) * p * W * 4 <= _VMEM_BUDGET)

@@ -63,11 +63,13 @@ _CHUNK_W = 1024
 _STREAM_BG = 8
 
 
-def _pick_chunk_w(p: int, W: int, itemsize: int = 4) -> int:
+def _pick_chunk_w(p: int, W: int, itemsize: int = 4,
+                  vmem_frac: float = 1.0) -> int:
     """Largest chunk width (multiple of _CHUNK_W dividing W) whose resident
     multipliers + two DMA slots + chunk temporaries stay inside budget.
     ``itemsize`` is the streamed dtype's (int16 raw streaming affords
-    larger chunks than f32 — the DMA slots are the dtype-sized part)."""
+    larger chunks than f32 — the DMA slots are the dtype-sized part).
+    ``vmem_frac`` scales the budget (engine soft retry)."""
     # >= 2 chunks keeps the DMA/compute overlap (a single whole-row chunk
     # serializes every sweep behind its own load — measured slower even
     # though it minimizes issue count); whole-row is the fallback for
@@ -80,7 +82,7 @@ def _pick_chunk_w(p: int, W: int, itemsize: int = 4) -> int:
     for cw in cands:
         # f32 lam block + 2 dtype-sized DMA slots + ~3 f32 chunk temporaries
         vmem = _STREAM_BG * p * (4 * W + 2 * itemsize * cw + 3 * 4 * cw)
-        if vmem <= _VMEM_BUDGET:
+        if vmem <= _VMEM_BUDGET * vmem_frac:
             best = cw
     return best
 

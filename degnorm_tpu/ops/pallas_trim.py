@@ -35,9 +35,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from degnorm_tpu.ops.pallas_nmf import (_TRIM_BLOCKS, _VMEM_BUDGET,
-                                        _nmf_loop, _rank1, _refine_E_f32,
-                                        _resolve_lam_dtype)
+from degnorm_tpu.ops.pallas_nmf import (_VMEM_BUDGET, _nmf_loop, _rank1,
+                                        _refine_E_f32, _resolve_lam_dtype,
+                                        _trim_blocks)
 
 _NEG = -1e30
 
@@ -217,15 +217,17 @@ def _trim_kernel(fm_ref, binid_ref, bincnt_ref, k0_ref, e0_ref, rho0_ref,
 
 
 def pick_block_genes_trim(G: int, p: int, W: int, dtype_bytes: int = 4,
-                          lam_bf16: bool = False) -> int:
-    """Largest gene-block whose trim working set (~_TRIM_BLOCKS live
+                          lam_bf16: bool = False,
+                          vmem_frac: float = 1.0) -> int:
+    """Largest gene-block whose trim working set (~_trim_blocks(p) live
     buffers: double-buffered Fm, lam scratch, A0/KE/clip transients) fits
     the VMEM budget; multiple of 8 (sublane tiling).  ``lam_bf16`` halves
-    the lambda scratch's share."""
-    per_gene = _TRIM_BLOCKS * p * W * dtype_bytes
+    the lambda scratch's share.  ``vmem_frac`` scales the budget (engine
+    soft retry, EngineConfig.vmem_frac)."""
+    per_gene = int(_trim_blocks(p) * p * W * dtype_bytes)
     if lam_bf16:
         per_gene -= p * W * dtype_bytes // 2
-    bg = (_VMEM_BUDGET // per_gene) // 8 * 8
+    bg = (int(_VMEM_BUDGET * vmem_frac) // per_gene) // 8 * 8
     return int(max(8, min(bg, ((G + 7) // 8) * 8)))
 
 
@@ -253,6 +255,7 @@ def trim_loop_pallas(
     min_gene_len: int,
     fast: bool = False,
     interpret: bool = False,
+    vmem_frac: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the whole trim loop for a padded bucket on VMEM-resident blocks.
 
@@ -275,7 +278,8 @@ def trim_loop_pallas(
 
     lam_jdtype = _resolve_lam_dtype(lam_dtype, p, interpret)
     bg = pick_block_genes_trim(G, p, W,
-                               lam_bf16=lam_jdtype == jnp.bfloat16)
+                               lam_bf16=lam_jdtype == jnp.bfloat16,
+                               vmem_frac=vmem_frac)
     G_pad = ((G + bg - 1) // bg) * bg
     pad = G_pad - G
 
@@ -333,4 +337,4 @@ def fused_trim_supported(F_shape, dtype) -> bool:
     G, p, W = F_shape
     return (jnp.dtype(dtype) == jnp.float32
             and W % 128 == 0
-            and 8 * _TRIM_BLOCKS * p * W * 4 <= _VMEM_BUDGET)
+            and 8 * _trim_blocks(p) * p * W * 4 <= _VMEM_BUDGET)

@@ -78,3 +78,34 @@ def test_engine_multi_chunk_buckets():
     np.testing.assert_allclose(r2.x_adj, r1.x_adj, rtol=1e-12)
     for a, b in zip(r2.estimates(), r1.estimates()):
         np.testing.assert_allclose(a, b, rtol=1e-10)
+
+
+def test_engine_vmem_soft_retry():
+    """A scoped-VMEM Pallas compile failure first retries with halved gene
+    blocks (EngineConfig.vmem_frac=0.5, kernels unchanged), and only then
+    falls back to the XLA path — the VMEM block model is probed per
+    compile environment and that environment can drift between sessions."""
+    cov, X = make_dataset(seed=9, n=6)
+    cfg = NMFConfig(nmf_iter=3, degnorm_iter=1)
+    engine = DegNormEngine(cfg, EngineConfig(bucket_widths=(1024,)))
+
+    real_run = DegNormEngine._run
+    seen = []
+
+    def failing_run(self, *a, **k):
+        seen.append(self.eng_cfg.vmem_frac)
+        if len(seen) == 1:
+            raise RuntimeError(
+                "Ran out of memory in memory space vmem while allocating")
+        return real_run(self, *a, **k)
+
+    DegNormEngine._run = failing_run
+    try:
+        res = engine.run(cov, X)
+    finally:
+        DegNormEngine._run = real_run
+    assert seen == [1.0, 0.5]
+    assert engine.eng_cfg.vmem_frac == 0.5
+    assert engine.eng_cfg.use_pallas  # Pallas survived the soft retry
+    gold = oracle.degnorm_fit(list(cov.values()), X, cfg)
+    np.testing.assert_allclose(res.rho, gold.rho, rtol=0, atol=5e-3)
