@@ -34,30 +34,34 @@ _EPS = 1e-30
 # 16 MB scoped VMEM. We budget 13 MB (Mosaic needs slack) against an
 # empirical live-buffer multiplier per kernel — measured 17.7 MB actual
 # at a naive 4-block model with p=32, hence the conservative factors.
-# Re-probed on hardware after the X-form update with FRESH compiles at
-# production static params (tools/r2_block_probe2.py — the persistent
-# compile cache can mask environment drift, and scoped-VMEM accounting
-# is sensitive to the kernel's static loop parameters, so only
-# production-param fresh-compile evidence counts).  Three observed
-# hazards shape the factors:
-#   * trim at p=8 W=1024 bg=64 compiles STANDALONE but fails inside the
-#     real _bucket_step program at 16.44M/16.00M — the surrounding
-#     program adds ~0.5M of scoped-VMEM stack, so the model keeps
-#     >= 1.5M in-context slack (trim 7.0 -> bg=56, ~14.4M);
-#   * trim p=32 W=512 bg=32 rejected at 16.25M (p>16 keeps factor 8);
-#   * a 2 MiB-block config (bg*p*W*4 = 64*8*1024*4) sits exactly at the
-#     failure boundary regardless of how bg/p/W compose it.
-# If the environment drifts again, the engine soft-retries the fit with
-# vmem_frac=0.5 (half-size blocks) before falling back to XLA.
+# A round-2 attempt to shrink these factors (X-form freed one live block)
+# was probed three ways and REVERTED — the scoped-VMEM accounting turned
+# out to be unstable in ways a static model must keep slack for:
+#   * the persistent compile cache masks drift (a size "validated" one
+#     session failed fresh compiles the next, same code);
+#   * standalone-kernel probes under-account the surrounding program
+#     (trim bg=64 @ p=8 W=1024 compiled standalone, failed inside the
+#     real _bucket_step at 16.44M/16.00M);
+#   * the in-context live set GROWS with grid size (trim bg=56 compiled
+#     at G=2048 but failed at G=24576 at 16.45M — ~9.0 live blocks/gene
+#     vs ~7.8 at the small grid).
+# The factors below ran every round-1 workload (20k x 8 bench, 50k x 32
+# stretch) across many program shapes: trim 8.0 -> bg=48 = ~14.1M at the
+# worst observed accounting, ~1.9M slack.  p=32 W=512 bg=32 was rejected
+# at 16.25M, so p>16 also keeps its factor.  If the environment drifts
+# again, the engine soft-retries the fit with vmem_frac=0.5 (half-size
+# blocks) before falling back to XLA (tools/r2_block_probe2.py).
 _VMEM_BUDGET = 13 * 1024 * 1024
 
 
 def _nmf_blocks(p: int) -> float:
-    return 6.0 if p <= 16 else 7.0
+    del p
+    return 7.0
 
 
 def _trim_blocks(p: int) -> float:
-    return 7.0 if p <= 16 else 8.0
+    del p
+    return 8.0
 
 
 def _gram(X):

@@ -18,31 +18,27 @@ def test_block_sizing_sublane_aligned():
 
 
 def test_block_model_matches_hardware_probe():
-    """Pin the p-dependent empirical VMEM model to the hardware-probed
-    values (tools/r2_block_probe2.py, FRESH compiles at production static
-    params — the persistent compile cache can mask environment drift, and
-    the scoped-VMEM accounting is also sensitive to the kernel's static
-    loop parameters, so only production-param fresh-compile probes count):
-    every size below compiled and ran on TPU 2026-08-19; the next size up
-    was rejected by the compiler where noted.  Change deliberately and
-    re-probe."""
+    """Pin the empirical VMEM block model to its hardware-validated values
+    (see the hazard ledger at ops/pallas_nmf.py::_VMEM_BUDGET: compile-
+    cache masking, standalone-vs-in-context under-accounting, grid-size-
+    dependent live sets).  These sizes ran every round-1 workload; trim
+    bg=56 @ p=8 W=1024 failed IN CONTEXT at G=24576 (16.45M/16.00M), so
+    bg=48 with ~1.9M slack is the ceiling.  Change deliberately and
+    re-probe with tools/r2_block_probe2.py at BOTH small and large G."""
     from degnorm_tpu.ops.pallas_trim import (fused_trim_supported,
                                              pick_block_genes_trim)
-    # trim: bg=64 at p=8 W=1024 compiled standalone but failed IN CONTEXT
-    # (inside the real _bucket_step program) at 16.44M/16.00M, so the
-    # model keeps ~1.5M in-context slack
-    assert pick_block_genes_trim(2048, 8, 1024) == 56
-    assert pick_block_genes_trim(512, 8, 4096) == 8     # 24 rejected 21.7M
+    assert pick_block_genes_trim(24576, 8, 1024) == 48  # 56 rejected 16.45M
+    assert pick_block_genes_trim(512, 8, 4096) == 8
     assert pick_block_genes_trim(1024, 16, 1024) == 24
     assert pick_block_genes_trim(512, 32, 512) == 24    # 32 rejected 16.25M
-    # W=8192 p=8: the minimal 8-gene trim block no longer passes the gate
+    # W=8192 p=8: the minimal 8-gene trim block does not pass the gate
     # (2 MiB-block configs sit at the in-context failure boundary)
     assert not fused_trim_supported((64, 8, 8192), jnp.float32)
-    assert pick_block_genes(2048, 8, 1024) == 64        # 72 compiled
-    assert pick_block_genes(512, 32, 512) == 24         # 32 compiled too
+    assert pick_block_genes(24576, 8, 1024) == 56
+    assert pick_block_genes(512, 32, 512) == 24
     # the engine's soft-retry knob shrinks blocks without code changes
-    assert pick_block_genes_trim(2048, 8, 1024, vmem_frac=0.5) == 24
-    assert pick_block_genes(2048, 8, 1024, vmem_frac=0.5) == 32
+    assert pick_block_genes_trim(24576, 8, 1024, vmem_frac=0.5) == 24
+    assert pick_block_genes(24576, 8, 1024, vmem_frac=0.5) == 24
 
 
 def test_pallas_nmf_matches_xla():
