@@ -142,6 +142,19 @@ class EngineConfig:
     # dense-workload trim cost to the extra matvecs.
     # 0 = squared scheme (the cold-start path always uses it).
     power_warm_plain: int = 2
+    # OPT-IN adaptive convergence for the NMF-OA Lagrangian loop (0.0 =
+    # off, the reference semantics: always exactly nmf_iter iterations).
+    # With nmf_tol > 0, a gene FREEZES its (X, K, E, u) state once its K
+    # factor's max-abs change in one iteration falls below nmf_tol
+    # relative to max|K|, and the loop exits early when every gene of the
+    # batch/block has frozen (capped at nmf_iter).  Freezing is per-gene
+    # and depends only on that gene's own history, so results are
+    # invariant to gene-block partitioning and identical between the
+    # fused Pallas kernel and the XLA twin (tests/test_pallas.py).  A
+    # numeric deviation like trim_fast — document measured drift before
+    # relying on it.  Ignored by the W-streamed kernel (wide buckets run
+    # the full nmf_iter) and by lam_dtype="bf16".
+    nmf_tol: float = 0.0
     # Storage dtype of the Lagrange-multiplier block inside the Pallas
     # kernels (the largest VMEM-resident scratch, read+written every inner
     # iteration): "f32", "bf16", or "auto" (= f32: the engine A/B,

@@ -40,6 +40,7 @@ def nmf_masked(
     F_raw: Optional[jnp.ndarray] = None,
     scale: Optional[jnp.ndarray] = None,
     vmem_frac: float = 1.0,
+    nmf_tol: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the NMF-OA loop on a masked gene bucket.
 
@@ -60,6 +61,12 @@ def nmf_masked(
         int16) and the per-sample scale vector with F == F_raw/scale; the
         streamed kernel then reads F_raw at half the HBM bytes and adjusts
         per chunk, bit-identically (see ops/pallas_stream.py).
+      nmf_tol: > 0 enables OPT-IN adaptive convergence (EngineConfig.
+        nmf_tol): each gene freezes its (X, K, E, u) once max|ΔK| <=
+        nmf_tol * max|K| in one iteration, and the loop exits early when
+        all genes are frozen.  Per-gene freezing makes results invariant
+        to batching and identical to the fused kernel's.  The streamed
+        fallback ignores it (wide buckets run the full nmf_iter).
 
     Returns (K, E, u): rank-1 factors (G,p), (G,W) and the final unit left
     vector for warm starts. K, E are nonnegative (Perron orientation);
@@ -79,7 +86,8 @@ def nmf_masked(
                 power_warm_plain=power_warm_plain,
                 u0=u0,
                 lam_dtype=lam_dtype,
-                vmem_frac=vmem_frac)
+                vmem_frac=vmem_frac,
+                nmf_tol=nmf_tol)
         # Too wide for VMEM residency: stream W-chunks through VMEM with
         # the multipliers HBM-resident (ops/pallas_stream.py) rather than
         # dropping to the XLA lowering.  The streamed kernel stores f32
@@ -121,6 +129,35 @@ def nmf_masked(
         K, E, u = masked_rank_one(X, mask, n_iters=power_iters_warm,
                                   u0=u, method=method)
         return X, K, E, u
+
+    if nmf_tol > 0:
+        # Adaptive convergence (EngineConfig.nmf_tol, opt-in): per-gene
+        # freeze + all-frozen early exit.  A frozen gene's state stops
+        # updating entirely (X included — its packed-kernel twin refines E
+        # from the frozen X), so values depend only on each gene's own
+        # history: invariant to batching, identical to the fused kernel.
+        tol = jnp.asarray(nmf_tol, F.dtype)
+
+        def cond_a(carry):
+            i, X, K, E, u, done = carry
+            return (i < nmf_iter) & ~jnp.all(done)
+
+        def body_a(carry):
+            i, X, K, E, u, done = carry
+            Xn, Kn, En, un = body(i, (X, K, E, u))
+            X = jnp.where(done[:, None, None], X, Xn)
+            Kn = jnp.where(done[:, None], K, Kn)
+            En = jnp.where(done[:, None], E, En)
+            un = jnp.where(done[:, None], u, un)
+            delta = jnp.max(jnp.abs(Kn - K), axis=1)
+            ref = jnp.maximum(jnp.max(jnp.abs(Kn), axis=1), 1e-30)
+            done = done | (delta <= tol * ref)
+            return i + 1, X, Kn, En, un, done
+
+        carry = (jnp.zeros((), jnp.int32), A0, K, E, u,
+                 jnp.zeros((F.shape[0],), bool))
+        _, X, K, E, u, _ = jax.lax.while_loop(cond_a, body_a, carry)
+        return K, E, u
 
     X, K, E, u = jax.lax.fori_loop(0, nmf_iter, body, (A0, K, E, u))
     return K, E, u

@@ -265,7 +265,7 @@ def _refine_E_f32(X, K, u):
 
 
 def _nmf_loop(A0, lam_ref, *, nmf_iter, power_cold, power_warm, gram_mode,
-              warm_plain=0, u0=None):
+              warm_plain=0, u0=None, nmf_tol=0.0):
     """The full Lagrangian NMF-OA loop on a VMEM-resident block.
 
     ``lam_ref`` is a (BG, p, W) VMEM scratch reused across calls (the fused
@@ -284,7 +284,15 @@ def _nmf_loop(A0, lam_ref, *, nmf_iter, power_cold, power_warm, gram_mode,
 
     ``u0``: optional warm start for the cold rank-1 (the trim loop passes
     the previous round's left vectors with ``power_cold`` already reduced
-    to EngineConfig.power_iters_resume)."""
+    to EngineConfig.power_iters_resume).
+
+    ``nmf_tol`` > 0 (EngineConfig.nmf_tol, opt-in): per-gene freeze of
+    (X, K, E, u) once max|ΔK| <= nmf_tol * max|K| in one iteration, with
+    block-level early exit when every gene has frozen.  Freezing gates the
+    X scratch write too, so the packed modes' final f32 E refinement reads
+    each gene's X exactly as frozen — results are invariant to gene-block
+    partitioning and match the XLA twin.  f32 multiplier storage only
+    (the bf16 opt-in keeps the fixed-count loop)."""
     BG, p, W = A0.shape
     if u0 is None:
         u0 = jnp.full((BG, p), 1.0 / (p ** 0.5), A0.dtype)
