@@ -29,6 +29,8 @@ REF_GENES = int(os.environ.get("BENCH_REF_GENES", 12))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
 SKIP_BS = os.environ.get("BENCH_SKIP_BS", "0") == "1"
 TRIM_FAST = os.environ.get("BENCH_TRIM_FAST", "0") == "1"
+# A/B hook for the opt-in adaptive NMF convergence (EngineConfig.nmf_tol)
+NMF_TOL = float(os.environ.get("BENCH_NMF_TOL", "0"))
 # "dense": every gene degrades (worst case — most genes trim deep).
 # "sparse": ~20% degrade (the realistic regime; most genes leave the trim
 # loop immediately and the fused kernel's block skipping dominates).
@@ -130,7 +132,7 @@ def main():
     nmf_cfg = NMFConfig(nmf_iter=NMF_ITER, degnorm_iter=DEGNORM_ITER,
                         skip_baseline_selection=SKIP_BS)
     eng_cfg = EngineConfig(
-        bucket_widths=(1024, 4096), trim_fast=TRIM_FAST,
+        bucket_widths=(1024, 4096), trim_fast=TRIM_FAST, nmf_tol=NMF_TOL,
         # A/B hook: device-resident outer loop (the multi-process path)
         # on a single chip
         device_loop=(True if os.environ.get("BENCH_DEVICE_LOOP") == "1"

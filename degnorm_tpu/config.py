@@ -151,9 +151,10 @@ class EngineConfig:
     # and depends only on that gene's own history, so results are
     # invariant to gene-block partitioning and identical between the
     # fused Pallas kernel and the XLA twin (tests/test_pallas.py).  A
-    # numeric deviation like trim_fast — document measured drift before
-    # relying on it.  Ignored by the W-streamed kernel (wide buckets run
-    # the full nmf_iter) and by lam_dtype="bf16".
+    # numeric deviation like trim_fast — measured drift is documented in
+    # PARITY.md §known deviations.  Ignored by the W-streamed kernel
+    # (wide buckets run the full nmf_iter) and by trim_fast's warm-restart
+    # rounds (their own shortened loop).
     nmf_tol: float = 0.0
     # Storage dtype of the Lagrange-multiplier block inside the Pallas
     # kernels (the largest VMEM-resident scratch, read+written every inner

@@ -138,6 +138,7 @@ def baseline_select_bucket(
         F_raw=F_raw,
         scale=scale,
         vmem_frac=eng_cfg.vmem_frac,
+        nmf_tol=eng_cfg.nmf_tol,
     )
 
     # ---- high-coverage mask (nmf.py:66-76,220) ----
@@ -240,7 +241,8 @@ def baseline_select_bucket(
             min_gene_len=nmf_cfg.min_gene_len,
             fast=eng_cfg.trim_fast,
             interpret=eng_cfg.pallas_interpret,
-            vmem_frac=eng_cfg.vmem_frac)
+            vmem_frac=eng_cfg.vmem_frac,
+            nmf_tol=eng_cfg.nmf_tol)
         st = state0._replace(K=K_t, rho=rho_t, ran_bs=ran_bs_t,
                              rounds_active=rounds_t)
         return _finalize_bucket(F, Fm, lm_f, hi_f, len_mask, K0, E0, rho0,

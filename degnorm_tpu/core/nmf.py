@@ -65,7 +65,9 @@ def nmf_masked(
         nmf_tol): each gene freezes its (X, K, E, u) once max|ΔK| <=
         nmf_tol * max|K| in one iteration, and the loop exits early when
         all genes are frozen.  Per-gene freezing makes results invariant
-        to batching and identical to the fused kernel's.  The streamed
+        to batching and identical to the fused kernel's (the Pallas twin
+        implements the same freeze in ops/pallas_nmf.py::_nmf_loop; parity
+        at nmf_tol > 0 is tested in tests/test_pallas.py).  The streamed
         fallback ignores it (wide buckets run the full nmf_iter).
 
     Returns (K, E, u): rank-1 factors (G,p), (G,W) and the final unit left

@@ -5,7 +5,7 @@ Replaces reference ``reads_coverage_merge.py`` (SURVEY.md §2.1 #7).  The
 reference round-trips everything through per-sample files and re-loads
 them in ~500 MB dense slices; here the per-sample results stream in memory
 (with optional reference-layout artifact writing for resume/compat —
-io/writers.py).
+pipeline/outputs.py).
 
 Contract preserved:
   * isolated genes' matrices are sliced from whole-chromosome coverage at

@@ -289,10 +289,11 @@ def _nmf_loop(A0, lam_ref, *, nmf_iter, power_cold, power_warm, gram_mode,
     ``nmf_tol`` > 0 (EngineConfig.nmf_tol, opt-in): per-gene freeze of
     (X, K, E, u) once max|ΔK| <= nmf_tol * max|K| in one iteration, with
     block-level early exit when every gene has frozen.  Freezing gates the
-    X scratch write too, so the packed modes' final f32 E refinement reads
-    each gene's X exactly as frozen — results are invariant to gene-block
-    partitioning and match the XLA twin.  f32 multiplier storage only
-    (the bf16 opt-in keeps the fixed-count loop)."""
+    X/lambda scratch write too, so the packed modes' final f32 E
+    refinement reads each gene's X exactly as frozen — results are
+    invariant to gene-block partitioning and match the XLA twin
+    (core/nmf.py's adaptive while_loop): both compute the same candidate
+    update each iteration and discard it for frozen genes."""
     BG, p, W = A0.shape
     if u0 is None:
         u0 = jnp.full((BG, p), 1.0 / (p ** 0.5), A0.dtype)
@@ -315,6 +316,17 @@ def _nmf_loop(A0, lam_ref, *, nmf_iter, power_cold, power_warm, gram_mode,
             lam_ref[:] = lam.astype(lam_ref.dtype)
             return _rank1(A0 + lam, u, power_warm, gram_mode,
                           warm_plain=warm_plain)
+
+        def body_frozen(carry):
+            K, E, u, done = carry
+            est = K[:, :, None] * E[:, None, :]
+            lam_old = lam_ref[:]
+            lam = jnp.maximum(
+                lam_old.astype(A0.dtype) - step * (est - A0), 0.0)
+            lam_ref[:] = jnp.where(done[:, :, None] > 0, lam_old,
+                                   lam.astype(lam_ref.dtype))
+            return _rank1(A0 + lam, u, power_warm, gram_mode,
+                          warm_plain=warm_plain)
     else:
         lam_ref[:] = A0
 
@@ -326,7 +338,45 @@ def _nmf_loop(A0, lam_ref, *, nmf_iter, power_cold, power_warm, gram_mode,
             return _rank1(X, u, power_warm, gram_mode,
                           warm_plain=warm_plain)
 
-    K, E, u = jax.lax.fori_loop(0, nmf_iter, body, (K, E, u))
+        def body_frozen(carry):
+            K, E, u, done = carry
+            X_old = lam_ref[:]
+            est = K[:, :, None] * E[:, None, :]
+            X = jnp.maximum(X_old - step * (est - A0), A0)
+            lam_ref[:] = jnp.where(done[:, :, None] > 0, X_old, X)
+            return _rank1(X, u, power_warm, gram_mode,
+                          warm_plain=warm_plain)
+
+    if nmf_tol > 0:
+        # Adaptive convergence: the freeze test and masking mirror
+        # core/nmf.py's adaptive while_loop exactly — a frozen gene's
+        # consumed state never changes (the candidate rank-1 still runs on
+        # all genes; its result is discarded for frozen ones, like the XLA
+        # twin's jnp.where masking).  ``done`` rides as a {0,1} (BG, 1)
+        # float column — Mosaic vectorizes f32 selects on every shape here.
+        tol = jnp.asarray(nmf_tol, A0.dtype)
+
+        def cond_a(carry):
+            i, K, E, u, done = carry
+            return (i < nmf_iter) & (jnp.min(done) < 0.5)
+
+        def body_a(carry):
+            i, K, E, u, done = carry
+            Kn, En, un = body_frozen((K, E, u, done))
+            Kn = jnp.where(done > 0, K, Kn)
+            En = jnp.where(done > 0, E, En)
+            un = jnp.where(done > 0, u, un)
+            delta = jnp.max(jnp.abs(Kn - K), axis=1, keepdims=True)
+            ref = jnp.maximum(jnp.max(jnp.abs(Kn), axis=1, keepdims=True),
+                              1e-30)
+            done = jnp.maximum(done, (delta <= tol * ref).astype(A0.dtype))
+            return i + 1, Kn, En, un, done
+
+        carry = (jnp.zeros((), jnp.int32), K, E, u,
+                 jnp.zeros((BG, 1), A0.dtype))
+        _, K, E, u, _ = jax.lax.while_loop(cond_a, body_a, carry)
+    else:
+        K, E, u = jax.lax.fori_loop(0, nmf_iter, body, (K, E, u))
     if gram_mode == "packed_slice":
         X_fin = (A0 + lam_ref[:].astype(A0.dtype) if lam_form
                  else lam_ref[:])
@@ -336,7 +386,7 @@ def _nmf_loop(A0, lam_ref, *, nmf_iter, power_cold, power_warm, gram_mode,
 
 def _nmf_kernel(act_ref, a0_ref, u0_ref, k_ref, e_ref, u_ref, lam_ref, *,
                 nmf_iter, power_cold, power_warm, gram_mode, warm_plain=0,
-                resume=False):
+                resume=False, nmf_tol=0.0):
     # Block-level early exit: the trim loop calls this with shrinking
     # per-gene active sets; a block whose genes are all inactive skips the
     # entire Lagrangian loop (outputs zeroed — callers gate on their own
@@ -350,7 +400,8 @@ def _nmf_kernel(act_ref, a0_ref, u0_ref, k_ref, e_ref, u_ref, lam_ref, *,
         K, E, u = _nmf_loop(a0_ref[:], lam_ref, nmf_iter=nmf_iter,
                             power_cold=power_cold, power_warm=power_warm,
                             gram_mode=gram_mode, warm_plain=warm_plain,
-                            u0=u0_ref[:] if resume else None)
+                            u0=u0_ref[:] if resume else None,
+                            nmf_tol=nmf_tol)
         k_ref[:] = K
         e_ref[:] = E
         u_ref[:] = u
@@ -455,8 +506,12 @@ def nmf_masked_pallas(
     u0: Optional[jnp.ndarray] = None,
     lam_dtype: str = "auto",
     vmem_frac: float = 1.0,
+    nmf_tol: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for core.nmf.nmf_masked (method="power").
+
+    ``nmf_tol`` > 0: per-gene adaptive freeze + block-level early exit,
+    matching the XLA twin's adaptive while_loop (see _nmf_loop).
 
     ``u0``: optional (G, p) warm start for the cold rank-1 (trim-round
     resume — pass power_iters_cold already reduced accordingly).
@@ -502,7 +557,8 @@ def nmf_masked_pallas(
     kernel = functools.partial(
         _nmf_kernel, nmf_iter=nmf_iter, power_cold=power_iters_cold,
         power_warm=power_iters_warm, gram_mode=gram_mode,
-        warm_plain=power_warm_plain, resume=resume)
+        warm_plain=power_warm_plain, resume=resume,
+        nmf_tol=float(nmf_tol))
 
     K, E, u = pl.pallas_call(
         kernel,

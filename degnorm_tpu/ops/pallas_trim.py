@@ -48,7 +48,7 @@ def _trim_kernel(fm_ref, binid_ref, bincnt_ref, k0_ref, e0_ref, rho0_ref,
                  lam_ref, *,
                  nmf_iter, power_cold, power_warm, power_resume, gram_mode,
                  warm_plain, max_rounds, min_bins, min_gene_len,
-                 n_bins_total, fast):
+                 n_bins_total, fast, nmf_tol=0.0):
     B = n_bins_total
     # Defaults = loop-never-ran state (also the all-inactive-block result).
     k_ref[:] = k0_ref[:]
@@ -175,7 +175,8 @@ def _trim_kernel(fm_ref, binid_ref, bincnt_ref, k0_ref, e0_ref, rho0_ref,
                                        power_cold=power_resume,
                                        power_warm=power_warm,
                                        gram_mode=gram_mode,
-                                       warm_plain=warm_plain, u0=u)
+                                       warm_plain=warm_plain, u0=u,
+                                       nmf_tol=nmf_tol)
             est_rs = Kn * jnp.sum(En, axis=1, keepdims=True)
             zero_row = (jnp.min(est_rs, axis=1, keepdims=True)
                         == 0.0).astype(dtype)           # nmf.py:315-316
@@ -256,6 +257,7 @@ def trim_loop_pallas(
     fast: bool = False,
     interpret: bool = False,
     vmem_frac: float = 1.0,
+    nmf_tol: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the whole trim loop for a padded bucket on VMEM-resident blocks.
 
@@ -302,7 +304,8 @@ def trim_loop_pallas(
         power_resume=power_iters_resume or power_iters_cold,
         gram_mode=gram_mode, warm_plain=power_warm_plain,
         max_rounds=max_rounds, min_bins=float(min_bins),
-        min_gene_len=float(min_gene_len), n_bins_total=B, fast=fast)
+        min_gene_len=float(min_gene_len), n_bins_total=B, fast=fast,
+        nmf_tol=float(nmf_tol))
 
     def row_spec(n):
         return pl.BlockSpec((bg, n), lambda i: (i, 0),

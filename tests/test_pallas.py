@@ -110,6 +110,75 @@ def test_bf16_lambda_storage_drift():
                                rtol=5e-3, atol=5e-3)
 
 
+def test_nmf_tol_xla_adaptive_matches_full_loop():
+    """EngineConfig.nmf_tol (opt-in adaptive convergence) on the XLA path:
+    at a tight tolerance the frozen-gene loop must stay within the
+    power-iteration convergence class of the full fixed-count loop, and
+    per-gene freezing must make results invariant to batching (PARITY.md
+    known deviation: nmf_tol)."""
+    rng = np.random.default_rng(51)
+    mats = [random_coverage(rng, 4, L, degraded=(i % 2 == 0)
+                            ).astype(np.float32)
+            for i, L in enumerate((150, 256, 90, 200))]
+    F, mask = make_bucket(mats, 256, dtype=np.float32)
+    kw = dict(nmf_iter=50, power_iters_cold=60, power_iters_warm=10)
+    K_full, E_full, _ = nmf_masked(F, mask, **kw)
+    K_tol, E_tol, _ = nmf_masked(F, mask, nmf_tol=1e-5, **kw)
+    np.testing.assert_allclose(np.asarray(K_tol), np.asarray(K_full),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(E_tol), np.asarray(E_full),
+                               rtol=1e-3, atol=1e-3)
+    # batching invariance: each gene freezes on its own history only
+    Ka, Ea, _ = nmf_masked(F[:2], mask[:2], nmf_tol=1e-4, **kw)
+    Kb, Eb, _ = nmf_masked(F[2:], mask[2:], nmf_tol=1e-4, **kw)
+    K_all, E_all, _ = nmf_masked(F, mask, nmf_tol=1e-4, **kw)
+    np.testing.assert_allclose(np.concatenate([Ka, Kb]), np.asarray(K_all),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.concatenate([Ea, Eb]), np.asarray(E_all),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_nmf_tol_pallas_matches_xla():
+    """The fused kernel's per-gene freeze + early exit must track the XLA
+    adaptive loop at the usual kernel tolerance (nmf_tol > 0 on BOTH)."""
+    rng = np.random.default_rng(52)
+    mats = [random_coverage(rng, 4, L, degraded=(i % 2 == 0)
+                            ).astype(np.float32)
+            for i, L in enumerate((150, 256, 90, 200))]
+    F, mask = make_bucket(mats, 256, dtype=np.float32)
+    kw = dict(nmf_iter=30, power_iters_cold=60, power_iters_warm=10,
+              nmf_tol=1e-4)
+    K1, E1, _ = nmf_masked(F, mask, **kw)
+    K2, E2, _ = nmf_masked_pallas(F, mask, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(K1), np.asarray(K2),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(E1), np.asarray(E2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_nmf_tol_trim_path_parity():
+    """Full baseline selection at nmf_tol > 0: fused trim kernel vs XLA
+    while_loop — identical decisions, f32-class DI drift."""
+    rng = np.random.default_rng(53)
+    mats = [random_coverage(rng, 4, L, degraded=(i % 2 == 0)
+                            ).astype(np.float32)
+            for i, L in enumerate((200, 256, 180, 230, 140, 250, 210, 160))]
+    F, mask = make_bucket(mats, 256, dtype=np.float32)
+    cfg = NMFConfig(nmf_iter=12)
+    r_xla = baseline_select_bucket(
+        F, mask, cfg, EngineConfig(use_pallas=False, nmf_tol=1e-4))
+    r_fused = baseline_select_bucket(
+        F, mask, cfg, EngineConfig(use_pallas=True, pallas_interpret=True,
+                                   fuse_trim=True, nmf_tol=1e-4))
+    assert int(np.asarray(r_xla.ran_bs).sum()) > 0, "trim loop never ran"
+    np.testing.assert_array_equal(np.asarray(r_xla.ran_bs),
+                                  np.asarray(r_fused.ran_bs))
+    np.testing.assert_array_equal(np.asarray(r_xla.rounds_active),
+                                  np.asarray(r_fused.rounds_active))
+    np.testing.assert_allclose(np.asarray(r_fused.rho),
+                               np.asarray(r_xla.rho), rtol=1e-3, atol=1e-4)
+
+
 @pytest.mark.parametrize("gram_mode", ["vpu", "mxu"])
 def test_fused_trim_matches_xla(gram_mode):
     """The fully fused trim-loop kernel (ops/pallas_trim.py, interpret
