@@ -67,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "previous round's Lagrange multipliers (~2.7x faster "
                         "iterations; small documented deviation from "
                         "reference numerics)")
+    p.add_argument("--nmf-tol", type=float, default=0.0,
+                   help="adaptive NMF convergence: freeze a gene's factors "
+                        "once its K stops moving by more than this relative "
+                        "tolerance (0 = reference behavior, always nmf-iter "
+                        "iterations; documented opt-in deviation — see "
+                        "PARITY.md)")
     p.add_argument("-v", "--version", action="version",
                    version=f"degnorm-tpu {__version__}")
     return p
@@ -169,7 +175,7 @@ def parse_config(argv: Optional[List[str]] = None,
         downsample_rate=args.downsample_rate,
         skip_baseline_selection=args.skip_baseline_selection)
     eng = EngineConfig(dtype=args.dtype, rank1_method=args.rank1_method,
-                       trim_fast=args.trim_fast,
+                       trim_fast=args.trim_fast, nmf_tol=args.nmf_tol,
                        profile_dir=args.profile_dir)
     cfg = PipelineConfig(
         bam_files=tuple(bam_files),

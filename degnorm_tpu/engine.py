@@ -143,16 +143,22 @@ def _init_sums(cov_parts, est_parts, idx_parts, n):
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
-def _iter_outputs(rho_parts, ran_parts, idx_parts, n):
+def _iter_outputs(rho_parts, ran_parts, rounds_parts, idx_parts, n):
     """Per-iteration twin of _init_sums for the host loop: scatter every
-    bucket's DI rows and ran-baseline-selection flags into one (n, p+1)
-    array on device so the host fetches once per iteration.  Values are
-    identical to the per-bucket host scatter (f32 rho verbatim; the bool
-    flag rides as 0.0/1.0 in the extra column)."""
+    bucket's DI rows, ran-baseline-selection flags AND trim-round counts
+    into one (n, p+2) array on device so the host fetches once per
+    iteration.  Values are identical to the per-bucket host scatter (f32
+    rho verbatim; the bool flag and int32 rounds ride as floats in the
+    two extra columns — rounds <= 16 are exact).  Folding rounds_active
+    in here is what lets the exit-round reorder run without its own
+    per-bucket eager fetches (each np.asarray of a device array is a
+    ~0.1 s relay round trip)."""
     rho = _device_scatter(rho_parts, idx_parts, n, 0.0)
     ran = _device_scatter(
         tuple(r.astype(rho.dtype) for r in ran_parts), idx_parts, n, 0.0)
-    return jnp.concatenate([rho, ran[:, None]], axis=1)
+    rounds = _device_scatter(
+        tuple(r.astype(rho.dtype) for r in rounds_parts), idx_parts, n, 0.0)
+    return jnp.concatenate([rho, ran[:, None], rounds[:, None]], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -482,16 +488,21 @@ class DegNormEngine:
                                      column_sharded=self._col_sharded(i))
                         for i, (F_d, m_d) in enumerate(
                             zip(self._device_F, self._device_mask))]
+            self.timings["init_dispatch"] = _time.perf_counter() - t0
             idx_parts = tuple(np.asarray(b.gene_indices, np.int32)
                               for b in self._buckets)
+            t1 = _time.perf_counter()
             sums = np.asarray(_init_sums(
                 tuple(cs for cs, _ in init_out),
                 tuple(es for _, es in init_out),
                 idx_parts, n), np.float64)
+            self.timings["init_fetch"] = _time.perf_counter() - t1
             cov_sums, est_sums = sums[0], sums[1]
             rho_init = outer.rho_from_ratio_svd(cov_sums, est_sums)
             state = outer.init_state(rho_init, x)
+            t1 = _time.perf_counter()
             self._presort_by_init_rho(rho_init)
+            self.timings["init_presort"] = _time.perf_counter() - t1
             self.timings["init"] = _time.perf_counter() - t0
 
         # ---- DegNorm iterations (nmf.py:556-596) ----
@@ -527,6 +538,7 @@ class DegNormEngine:
                 out = np.asarray(_iter_outputs(
                     tuple(res.rho for res in results),
                     tuple(res.ran_bs for res in results),
+                    tuple(res.rounds_active for res in results),
                     tuple(np.asarray(b.gene_indices, np.int32)
                           for b in self._buckets), n))
                 rho_raw = out[:, :p].astype(np.float64)
@@ -534,7 +546,7 @@ class DegNormEngine:
                 state = outer.iteration_update(state, rho_raw)
                 if (it == start_iter
                         and it + 1 < self.nmf_cfg.degnorm_iter):
-                    self._reorder_by_exit_round(results)
+                    self._reorder_by_exit_round(out[:, p + 1])
                 self.timings[f"iter_{it}"] = _time.perf_counter() - t_it
                 if checkpoint_dir:
                     from degnorm_tpu.pipeline.checkpoints import (
@@ -729,20 +741,26 @@ class DegNormEngine:
             if not np.array_equal(perm, np.arange(len(perm))):
                 self._permute_bucket(i, perm)
 
-    def _reorder_by_exit_round(self, results: List[BucketResult]) -> None:
+    def _reorder_by_exit_round(self, rounds_global: np.ndarray) -> None:
         """Sort each bucket's genes by how many trim rounds they survived in
         the first iteration.  Exit rounds are strongly correlated across
         DegNorm iterations, so the still-active set in later iterations
         becomes a contiguous suffix — letting the NMF kernel's block-level
         early exit actually skip whole blocks (randomly ordered genes leave
-        almost every 64-gene block 'active')."""
+        almost every 64-gene block 'active').
+
+        ``rounds_global``: (n,) per-gene rounds-active from the batched
+        _iter_outputs fetch (padding slots carry 0, like the kernels'
+        own inactive-gene output — identical ordering to the former
+        per-bucket device fetches)."""
         if self.mesh is not None:
             # sharded device arrays: an eager gather along the sharded gene
             # axis would transiently replicate the largest arrays of the
             # run and disturb their placement — same guard as the presort
             return
-        for i, (b, res) in enumerate(zip(self._buckets, results)):
-            ra = np.asarray(res.rounds_active)
+        for i, b in enumerate(self._buckets):
+            gi = b.gene_indices
+            ra = np.where(gi >= 0, rounds_global[np.maximum(gi, 0)], 0.0)
             perm = np.argsort(ra, kind="stable")
             if ra.max() == 0 or np.array_equal(perm, np.arange(len(perm))):
                 continue
