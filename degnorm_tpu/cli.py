@@ -64,7 +64,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "iterations into this directory (TensorBoard/xprof)")
     p.add_argument("--trim-fast", action="store_true",
                    help="warm-start baseline-selection trim rounds from the "
-                        "previous round's Lagrange multipliers (~2.7x faster "
+                        "previous round's Lagrange multipliers (~2x faster "
                         "iterations; small documented deviation from "
                         "reference numerics)")
     p.add_argument("--nmf-tol", type=float, default=0.0,
