@@ -70,13 +70,17 @@ print(f"shapes G={G} p={p} W={W} nmf_iter={NMF_ITER}, mesh=8 devices")
 print("static HLO collective ops:", counts)
 print("while loops in module:", n_while)
 
-# Count all-reduces INSIDE each while body (they execute once per trip).
-bodies = re.findall(r"%region_\d+[^{]*\{[^}]*\}", hlo, re.S)
-for m in re.finditer(r"(\S*body\S*) \{(.*?)\n\}", hlo, re.S):
-    name, body = m.groups()
-    ar = len(re.findall(r"all-reduce(?:-start)?", body))
-    if ar:
-        print(f"  {name}: {ar} all-reduce(s) per trip")
+# Show each all-reduce's operand tuple: GSPMD FUSES independent
+# same-group reductions into single variadic collectives (e.g. the rank-1
+# Gram and a row sum ride one all-reduce) — strictly better than the
+# deleted hand kernel's one-psum-per-rank-1, which is the point this tool
+# exists to evidence.
+for m in re.finditer(r"%all-reduce\.?\d* = (\([^)]*\)|\S+) all-reduce",
+                     hlo):
+    ops = m.group(1)
+    n_fused = len(re.findall(r"[a-z]\d+\[", ops))   # tuple element count
+    print(f"  all-reduce carrying {n_fused} fused reduction(s): "
+          f"{ops[:70]}")
 
 # Rough replication check: does any (G, p, W)-sized buffer appear
 # unsharded in the module's parameter/result layout?

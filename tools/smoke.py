@@ -34,6 +34,10 @@ import numpy as np  # noqa: E402
 
 
 def synthetic_dataset(n=24, p=4, seed=7):
+    # Deliberately NOT bench.synth_dataset: smoke must stay ~1 min on CPU,
+    # so gene lengths are capped at 600 (interpret-mode Pallas cost scales
+    # with the padded bucket width; bench's 200-4000 bp power law would
+    # quadruple the gate's runtime for no extra signature coverage).
     rng = np.random.default_rng(seed)
     cov, counts = {}, []
     for i in range(n):
