@@ -109,13 +109,17 @@ def _bucket_step(F, len_mask, scale_factors, ds_start, nmf_cfg: NMFConfig,
 
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def _permute_on_device(F, len_mask, perm):
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _permute_on_device(F, len_mask, idx, perm):
     """Gene-axis gather of a bucket's device buffers in ONE jitted dispatch.
     Eager jnp.take round-trips the device relay per op (~100 ms each, two
     buckets x two arrays = ~0.4 s per reorder); a jitted call dispatches
-    async and the old buffers are donated (no transient 2x HBM)."""
-    return jnp.take(F, perm, axis=0), jnp.take(len_mask, perm, axis=0)
+    async and the old buffers are donated (no transient 2x HBM).  ``idx``
+    is the device-resident gene_indices cache (kept on device so the
+    per-iteration scatter calls don't re-upload it — profiling showed
+    those small host->device copies cost ~100 ms each through the relay)."""
+    return (jnp.take(F, perm, axis=0), jnp.take(len_mask, perm, axis=0),
+            jnp.take(idx, perm, axis=0))
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -282,6 +286,7 @@ class DegNormEngine:
                       if dtype == jnp.float32 and integral_int16able(cov_mats)
                       else np.dtype(dtype.name))
         self.timings["pack_scan"] = _time.perf_counter() - t0
+        self._device_idx = None    # invalidate (rebuilt lazily per bucket set)
         t0 = _time.perf_counter()
         self._buckets = pack_buckets(
             cov_mats,
@@ -348,6 +353,20 @@ class DegNormEngine:
             self._bucket_gene_sharded = [False] * len(self._buckets)
             self.timings["encode_upload"] = _time.perf_counter() - t0
 
+    def _device_idx_parts(self):
+        """Device-resident gene_indices per bucket, built lazily and kept
+        in sync by _permute_bucket.  The per-iteration _iter_outputs /
+        _init_sums calls previously passed fresh numpy arrays, costing one
+        small host->device copy per bucket per iteration (~100 ms each
+        through the tunneled relay — measured in the round-3 profiler
+        trace as copy-start/slice-start ops)."""
+        cache = getattr(self, "_device_idx", None)
+        if cache is None or len(cache) != len(self._buckets):
+            cache = [jnp.asarray(np.asarray(b.gene_indices, np.int32))
+                     for b in self._buckets]
+            self._device_idx = cache
+        return tuple(cache)
+
     def _bucket_mesh(self, i: int):
         """Mesh for bucket i's kernels: only gene-sharded buckets shard_map
         (column-sharded seqpar buckets keep the GSPMD lowering)."""
@@ -374,7 +393,18 @@ class DegNormEngine:
         exit-round reorder) and to resume/mesh paths — the property
         PARITY.md documents."""
         if self.nmf_cfg.downsample_rate <= 1:
-            return np.zeros(bucket.F.shape[0], np.int32)
+            # cached device-resident zeros per bucket size: without this,
+            # every iteration re-uploaded a fresh numpy zeros vector per
+            # bucket (relay round trip apiece, same cost class as the
+            # idx_parts uploads — see _device_idx_parts)
+            G = bucket.F.shape[0]
+            cache = getattr(self, "_ds_zero_cache", None)
+            if cache is None:
+                cache = {}
+                self._ds_zero_cache = cache
+            if G not in cache:
+                cache[G] = jnp.zeros((G,), jnp.int32)
+            return cache[G]
         # draw the global vector once per iteration (the eager PRNG ops
         # round-trip the device relay; per-bucket redraws multiplied that)
         cache = getattr(self, "_ds_cache", None)
@@ -489,8 +519,7 @@ class DegNormEngine:
                         for i, (F_d, m_d) in enumerate(
                             zip(self._device_F, self._device_mask))]
             self.timings["init_dispatch"] = _time.perf_counter() - t0
-            idx_parts = tuple(np.asarray(b.gene_indices, np.int32)
-                              for b in self._buckets)
+            idx_parts = self._device_idx_parts()
             t1 = _time.perf_counter()
             sums = np.asarray(_init_sums(
                 tuple(cs for cs, _ in init_out),
@@ -539,8 +568,7 @@ class DegNormEngine:
                     tuple(res.rho for res in results),
                     tuple(res.ran_bs for res in results),
                     tuple(res.rounds_active for res in results),
-                    tuple(np.asarray(b.gene_indices, np.int32)
-                          for b in self._buckets), n))
+                    self._device_idx_parts(), n))
                 rho_raw = out[:, :p].astype(np.float64)
                 ran_bs[:, it] = out[:, p] > 0.5
                 state = outer.iteration_update(state, rho_raw)
@@ -717,8 +745,10 @@ class DegNormEngine:
         array costs seconds and nothing consumes its contents again)."""
         b = self._buckets[i]
         pj = jnp.asarray(perm.astype(np.int32))
-        self._device_F[i], self._device_mask[i] = _permute_on_device(
-            self._device_F[i], self._device_mask[i], pj)
+        idx_cache = self._device_idx_parts()[i]
+        (self._device_F[i], self._device_mask[i],
+         self._device_idx[i]) = _permute_on_device(
+            self._device_F[i], self._device_mask[i], idx_cache, pj)
         b.lengths = b.lengths[perm]
         b.gene_indices = b.gene_indices[perm]
 
