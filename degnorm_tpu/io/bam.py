@@ -53,7 +53,9 @@ class ReadColumns:
     cigar runs are flattened: read i owns cigar_ops/cigar_lens rows
     [cigar_offsets[i], cigar_offsets[i+1]).
     """
-    qnames: np.ndarray        # object array of str
+    qnames: np.ndarray        # object array of str (or LazyQnames view
+                              # from the native reader — materializes on
+                              # np.asarray / tolist; index-compatible)
     tid: np.ndarray           # int32
     pos: np.ndarray           # int32, 0-based leftmost aligned base
     flag: np.ndarray          # uint16
@@ -271,6 +273,55 @@ def _read_bam_native(path: str, *, tid: Optional[int],
         lib.dn_free_bam(ctypes.byref(data))
 
 
+class LazyQnames:
+    """Query names decoded on demand from the native reader's packed blob.
+
+    Materializing n Python strings up front cost ~50% of single-thread ETL
+    (profiled at 2M reads: the per-read slice+decode loop dominated
+    _cols_from_native), and the standard BAM pipeline never reads them —
+    the native reader precomputes pair_hash/mate_code, which the coverage
+    kernel uses for pairing. This wrapper keeps the raw blob + offset
+    arrays and supports the object-ndarray operations the codebase uses:
+    len/iter, int indexing (decodes one), array/mask/slice indexing
+    (returns a new lazy view — subset_columns stays O(1) in string work),
+    ``tolist``, and ``np.asarray`` via ``__array__`` (materializes and
+    caches)."""
+
+    def __init__(self, blob: bytes, starts: np.ndarray, ends: np.ndarray):
+        self._blob = blob
+        self._starts = starts
+        self._ends = ends
+        self._arr: Optional[np.ndarray] = None
+
+    def _materialize(self) -> np.ndarray:
+        if self._arr is None:
+            blob = self._blob
+            self._arr = np.array(
+                [blob[s:e].decode() for s, e in
+                 zip(self._starts.tolist(), self._ends.tolist())],
+                dtype=object)
+        return self._arr
+
+    def __len__(self):
+        return len(self._starts)
+
+    def __getitem__(self, i):
+        if isinstance(i, (int, np.integer)):
+            return self._blob[self._starts[int(i)]:self._ends[int(i)]].decode()
+        return LazyQnames(self._blob, self._starts[i], self._ends[i])
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def tolist(self):
+        return self._materialize().tolist()
+
+    def __array__(self, dtype=None, copy=None):
+        a = self._materialize()
+        return a if dtype in (None, object) else a.astype(dtype)
+
+
 def _cols_from_native(data) -> ReadColumns:
     """Columnar arrays out of a populated DnBamData (copies, so freeing the
     native buffers afterwards is safe)."""
@@ -288,9 +339,9 @@ def _cols_from_native(data) -> ReadColumns:
     n_cig = int(coff[-1]) if n else 0
     qoff = arr(data.qname_offsets, n + 1, np.int64)
     qbytes = ctypes.string_at(data.qnames, int(qoff[-1])) if n else b""
-    qnames = np.array(
-        [qbytes[qoff[i]:qoff[i + 1] - 1].decode() for i in range(n)],
-        dtype=object)
+    # lazy: the pipeline pairs reads through pair_hash, so the per-read
+    # strings are usually never built (see LazyQnames)
+    qnames = LazyQnames(qbytes, qoff[:-1], qoff[1:] - 1)
     return ReadColumns(
         qnames=qnames,
         tid=arr(data.tid, n, np.int32),

@@ -155,7 +155,7 @@ def unpaired_qnames(qnames: np.ndarray) -> np.ndarray:
     vectorized through pandas string kernels."""
     if len(qnames) == 0:
         return np.array([], dtype=object)
-    s = pd.Series(qnames, dtype=object)
+    s = pd.Series(np.asarray(qnames, dtype=object), dtype=object)
     return s.str.rpartition(".")[0].to_numpy(dtype=object)
 
 

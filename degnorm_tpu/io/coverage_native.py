@@ -62,20 +62,28 @@ def chromosome_coverage_native(
                 gene_group[gene_idx[g]] = gi
 
     # per-gene exon arrays in the reference's quirky convention
-    # (sorted starts 0-indexed; sorted ends left 1-indexed)
+    # (sorted starts 0-indexed; sorted ends left 1-indexed).  One groupby
+    # pass — the former per-gene boolean-filter scan was O(genes x exons)
+    # and dominated the wrapper at real annotation sizes.  tx_positions
+    # (exon-union coordinates) are only consumed for overlap-group genes
+    # below, so isolated genes skip their arange/unique entirely.
+    _empty = np.empty(0, np.int64)
+    by_gene = {g: (sub.start.values.astype(np.int64),
+                   sub.end.values.astype(np.int64))
+               for g, sub in chrom_exon_df.groupby("gene", sort=False)}
     ex_starts, ex_ends, ex_off = [], [], [0]
-    tx_positions = []
-    for g in genes:
-        gex = chrom_exon_df[chrom_exon_df.gene == g]
-        s0 = np.sort(gex.start.values.astype(np.int64)) - 1
-        e1 = np.sort(gex.end.values.astype(np.int64))
+    tx_positions = [None] * n_genes
+    for i, g in enumerate(genes):
+        s, e = by_gene.get(g, (_empty, _empty))
+        s0 = np.sort(s) - 1
+        e1 = np.sort(e)
         ex_starts.append(s0)
         ex_ends.append(e1)
         ex_off.append(ex_off[-1] + len(s0))
-        tx = np.unique(np.concatenate(
-            [np.arange(a, b) for a, b in zip(s0, e1)])) if len(s0) else \
-            np.empty(0, np.int64)
-        tx_positions.append(tx)
+        if gene_group[i] >= 0:
+            tx_positions[i] = np.unique(np.concatenate(
+                [np.arange(a, b) for a, b in zip(s0, e1)])) if len(s0) \
+                else _empty
     exon_starts0 = np.ascontiguousarray(
         np.concatenate(ex_starts) if ex_starts else np.empty(0, np.int64))
     exon_ends1 = np.ascontiguousarray(
