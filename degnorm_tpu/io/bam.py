@@ -83,6 +83,10 @@ class ReadColumns:
 def subset_columns(cols: ReadColumns, mask: np.ndarray) -> ReadColumns:
     """Rows of ``cols`` where ``mask`` is True, with the flattened cigar
     arrays and offsets rebuilt (and the optional pairing columns kept)."""
+    if mask.all():
+        # single-chromosome files hit this on the per-tid split: skip the
+        # full-copy rebuild (repeat over cigar runs + fancy indexing)
+        return cols
     idx = np.flatnonzero(mask)
     counts = np.diff(cols.cigar_offsets)
     keep_ops = np.repeat(mask, counts)
