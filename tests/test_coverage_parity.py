@@ -74,6 +74,8 @@ def _stub_modules():
     import networkx as nx
     if not hasattr(nx, "from_numpy_matrix"):
         nx.from_numpy_matrix = nx.from_numpy_array  # networkx>=3 rename
+    if not hasattr(np, "float_"):
+        np.float_ = np.float64  # numpy>=2 removal (reference uses np.float_)
     if "/root/reference" not in sys.path:
         sys.path.append("/root/reference")
 
@@ -136,7 +138,7 @@ def synth_reads(rng, gene_df, exon_df, n=400, paired=False):
 
 
 def run_reference(tmp_path, rows, gene_df, exon_df, paired,
-                  chrom_len=CHROM_LEN):
+                  chrom_len=CHROM_LEN, sample_id="s1", save_dir=None):
     """Drive the reference implementation on the same synthetic reads."""
     _stub_modules()
     from degnorm.reads import BamReadsProcessor
@@ -144,8 +146,8 @@ def run_reference(tmp_path, rows, gene_df, exon_df, paired,
 
     proc = BamReadsProcessor.__new__(BamReadsProcessor)
     proc.verbose = False
-    proc.sample_id = "s1"
-    proc.save_dir = str(tmp_path / "ref_out")
+    proc.sample_id = sample_id
+    proc.save_dir = save_dir or str(tmp_path / "ref_out")
     os.makedirs(proc.save_dir, exist_ok=True)
     proc.paired = paired
     proc.header = pd.DataFrame({"chr": [CHROM], "length": [chrom_len]})
@@ -170,15 +172,17 @@ def run_reference(tmp_path, rows, gene_df, exon_df, paired,
 
     out = {}
     from scipy import sparse
-    cov_f = os.path.join(proc.save_dir, f"chrom_coverage_s1_{CHROM}.npz")
+    cov_f = os.path.join(proc.save_dir,
+                         f"chrom_coverage_{sample_id}_{CHROM}.npz")
     out["iso"] = (np.asarray(sparse.load_npz(cov_f).todense()).ravel()
                   if os.path.isfile(cov_f) else None)
-    ol_f = os.path.join(proc.save_dir, f"overlap_coverage_s1_{CHROM}.pkl")
+    ol_f = os.path.join(proc.save_dir,
+                        f"overlap_coverage_{sample_id}_{CHROM}.pkl")
     out["overlap"] = pickle.load(open(ol_f, "rb")) if os.path.isfile(ol_f) \
         else {}
     cnt = pd.read_csv(os.path.join(proc.save_dir,
-                                   f"read_counts_s1_{CHROM}.csv"))
-    out["counts"] = dict(zip(cnt.gene, cnt.s1))
+                                   f"read_counts_{sample_id}_{CHROM}.csv"))
+    out["counts"] = dict(zip(cnt.gene, cnt[sample_id]))
     return out
 
 
@@ -233,3 +237,49 @@ def test_overlap_structure_chain():
     out = overlap_structure(df)
     assert out["isolated_genes"] == ["D"]
     assert sorted(map(sorted, out["overlap_genes"])) == [["A", "B", "C"]]
+
+
+def test_warm_start_from_reference_written_run(tmp_path, annotation):
+    """MIGRATION PATH: our pipeline warm-starts from a run directory whose
+    artifacts were written by the REFERENCE implementation's own ETL +
+    merge code (reads.py coverage artifacts -> reads_coverage_merge
+    merge_read_counts/merge_coverage -> the __main__.py:199-209 csv
+    writes), so a reference user can switch frameworks without re-parsing
+    BAMs."""
+    gene_df, exon_df = annotation
+    rng = np.random.default_rng(11)
+    data_dir = tmp_path / "ref_etl"
+    sample_ids = ["s1", "s2"]
+    for sid in sample_ids:
+        rows = synth_reads(rng, gene_df, exon_df, n=500, paired=False)
+        run_reference(tmp_path, rows, gene_df, exon_df, paired=False,
+                      sample_id=sid, save_dir=str(data_dir / sid))
+
+    # the reference's own merge layer writes the warm-startable artifacts
+    from degnorm.reads_coverage_merge import (merge_coverage,
+                                              merge_read_counts)
+    ref_run = tmp_path / "ref_run"
+    os.makedirs(ref_run)
+    counts_df = merge_read_counts(str(data_dir), sample_ids, [CHROM])
+    cov_dict = merge_coverage(str(data_dir), sample_ids, exon_df,
+                              n_jobs=1, output_dir=str(ref_run),
+                              verbose=False)
+    counts_df.to_csv(os.path.join(ref_run, "read_counts.csv"), index=False)
+    exon_df.to_csv(os.path.join(ref_run, "gene_exon_metadata.csv"),
+                   index=False)
+    assert os.path.isfile(os.path.join(
+        ref_run, CHROM, f"coverage_matrices_{CHROM}.pkl"))
+
+    # our CLI, warm-started from the reference-written directory
+    from degnorm_tpu.cli import main
+    out_base = tmp_path / "ours"
+    os.makedirs(out_base)
+    rc = main(["-w", str(ref_run), "-o", str(out_base),
+               "--nmf-iter", "5", "--iter", "2"])
+    assert rc == 0
+    run_dir = [p for p in os.listdir(out_base) if p.startswith("degnorm_")]
+    di = pd.read_csv(os.path.join(out_base, run_dir[0],
+                                  "degradation_index_scores.csv"))
+    assert set(di.columns) >= {"chr", "gene"} | set(sample_ids)
+    assert set(di.gene) == set(cov_dict.keys())
+    assert np.isfinite(di[sample_ids].values).all()
