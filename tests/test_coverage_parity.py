@@ -283,3 +283,46 @@ def test_warm_start_from_reference_written_run(tmp_path, annotation):
     assert set(di.columns) >= {"chr", "gene"} | set(sample_ids)
     assert set(di.gene) == set(cov_dict.keys())
     assert np.isfinite(di[sample_ids].values).all()
+
+
+def test_reference_warm_starts_from_our_run(tmp_path, annotation):
+    """Reverse migration: the REFERENCE's own warm_start.load_from_previous
+    consumes a run directory OUR pipeline wrote — the artifact contract is
+    compatible in both directions."""
+    gene_df, exon_df = annotation
+    del gene_df
+    # produce one of OUR runs on simulated BAMs
+    from degnorm_tpu.io.simulate import make_genes, write_gtf, \
+        write_sample_bam
+    from degnorm_tpu.cli import main
+    rng = np.random.default_rng(21)
+    genes = make_genes(rng, n_genes=6, overlap_fraction=0.2)
+    gtf = str(tmp_path / "sim.gtf")
+    write_gtf(gtf, genes)
+    bams = []
+    for i in range(2):
+        b = str(tmp_path / f"sample{i}.bam")
+        write_sample_bam(b, genes, 60_000, seed=30 + i,
+                         mean_reads_per_gene=120)
+        bams.append(b)
+    out_base = tmp_path / "ours"
+    os.makedirs(out_base)
+    rc = main(["--bam-files", *bams, "-g", gtf, "-o", str(out_base),
+               "--nmf-iter", "5", "--iter", "1"])
+    assert rc == 0
+    run_dir = os.path.join(out_base, [p for p in os.listdir(out_base)
+                                      if p.startswith("degnorm_")][0])
+
+    # the reference's warm-start loader reads it
+    _stub_modules()
+    from degnorm.warm_start import load_from_previous
+    new_dir = str(tmp_path / "ref_new")
+    os.makedirs(new_dir)
+    out = load_from_previous(run_dir, new_dir)
+    gene_cov_dict = out["gene_cov_dict"]
+    assert out["sample_ids"] == ["sample0", "sample1"]
+    assert set(out["genes_df"].gene) == set(gene_cov_dict.keys())
+    for g, mat in gene_cov_dict.items():
+        assert mat.ndim == 2 and mat.shape[0] == 2   # p x L_i orientation
+    # the loader also copied the artifacts into the new run dir
+    assert os.path.isfile(os.path.join(new_dir, "read_counts.csv"))
