@@ -180,7 +180,9 @@ def _device_iteration_update(rho_parts, idx_parts, x_weighted,
 @functools.partial(jax.jit, static_argnames=("n",))
 def _device_init_state(cov_parts, est_parts, idx_parts, x, n):
     """Device-resident twin of init_state + rho_from_ratio_svd
-    (nmf.py:512-535)."""
+    (nmf.py:512-535).  Also returns the initial rho so the single-process
+    device loop can run the same init-DI presort as the host loop (the
+    fetch is skipped when unused)."""
     cov_sums = _device_scatter(cov_parts, idx_parts, n, 0.0)
     est_sums = _device_scatter(est_parts, idx_parts, n, 0.0)
     rho = 1 - cov_sums / (est_sums + 1)
@@ -189,7 +191,7 @@ def _device_init_state(cov_parts, est_parts, idx_parts, x, n):
     count_sums = jnp.where(
         any_low, jnp.sum(x * low_di[:, None], axis=0), jnp.sum(x, axis=0))
     norm = count_sums / jnp.median(count_sums)
-    return x / norm, norm
+    return x / norm, norm, rho
 
 
 @functools.partial(jax.jit, static_argnames=("eng_cfg", "mesh", "mesh_axis",
@@ -680,11 +682,19 @@ class DegNormEngine:
                                      column_sharded=self._col_sharded(i))
                         for i, (F_d, m_d) in enumerate(
                             zip(self._device_F, self._device_mask))]
-            x_weighted, norm = _device_init_state(
+            x_weighted, norm, rho_init_d = _device_init_state(
                 tuple(cs.astype(dtype) for cs, _ in init_out),
                 tuple(es.astype(dtype) for _, es in init_out),
                 idx_parts, x_d, n)
             scale = norm
+            if self.mesh is None:
+                # same init-DI presort as the host loop (single-process
+                # only — on a multi-process mesh the permutation guards in
+                # _presort/_reorder apply); without it the fused kernel's
+                # block-level skipping never engages and the sparse-regime
+                # device loop measured 2x slower than the host loop
+                self._presort_by_init_rho(np.asarray(rho_init_d))
+                idx_parts = self._device_idx_parts()
         self.timings["init"] = _time.perf_counter() - t0
 
         ran_cols = []
@@ -708,6 +718,16 @@ class DegNormEngine:
                 scale, n)
             ran_cols.append(_device_scatter(
                 tuple(r.ran_bs for r in results), idx_parts, n, False))
+            if (self.mesh is None and it == start_iter
+                    and it + 1 < self.nmf_cfg.degnorm_iter):
+                # same exit-round reorder as the host loop (one fetch,
+                # once per run — does not break the loop's per-iteration
+                # no-sync property)
+                rounds = np.asarray(_device_scatter(
+                    tuple(r.rounds_active for r in results), idx_parts,
+                    n, 0))
+                self._reorder_by_exit_round(rounds)
+                idx_parts = self._device_idx_parts()
             self.timings[f"iter_{it}"] = _time.perf_counter() - t_it
             if checkpoint_dir:
                 self._save_device_checkpoint(
