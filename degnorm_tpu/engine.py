@@ -362,6 +362,13 @@ class DegNormEngine:
         small host->device copy per bucket per iteration (~100 ms each
         through the tunneled relay — measured in the round-3 profiler
         trace as copy-start/slice-start ops)."""
+        if jax.process_count() > 1:
+            # multi-process: keep host numpy (lifted as replicated data by
+            # the global-mesh jit; a process-local committed jax.Array
+            # could not be resharded).  Permutes are disabled on meshes,
+            # so no cache coherence is needed either.
+            return tuple(np.asarray(b.gene_indices, np.int32)
+                         for b in self._buckets)
         cache = getattr(self, "_device_idx", None)
         if cache is None or len(cache) != len(self._buckets):
             cache = [jnp.asarray(np.asarray(b.gene_indices, np.int32))
@@ -395,11 +402,16 @@ class DegNormEngine:
         exit-round reorder) and to resume/mesh paths — the property
         PARITY.md documents."""
         if self.nmf_cfg.downsample_rate <= 1:
+            G = bucket.F.shape[0]
+            if jax.process_count() > 1:
+                # multi-process: a process-local committed jax.Array
+                # cannot be resharded into the global-mesh jit; host numpy
+                # is lifted as replicated data safely
+                return np.zeros(G, np.int32)
             # cached device-resident zeros per bucket size: without this,
             # every iteration re-uploaded a fresh numpy zeros vector per
             # bucket (relay round trip apiece, same cost class as the
             # idx_parts uploads — see _device_idx_parts)
-            G = bucket.F.shape[0]
             cache = getattr(self, "_ds_zero_cache", None)
             if cache is None:
                 cache = {}
@@ -647,9 +659,10 @@ class DegNormEngine:
         Note vs the host loop: updates run in the engine dtype (not
         float64)."""
         import time as _time
-        idx_parts = tuple(
-            jnp.asarray(np.asarray(b.gene_indices, np.int32))
-            for b in self._buckets)
+        # shares the host loop's device-resident cache (multi-process:
+        # host numpy, replicated by jit) — the presort/reorder below would
+        # otherwise re-upload identical arrays through the cache
+        idx_parts = self._device_idx_parts()
         x_d = jnp.asarray(x, dtype)
 
         # ---- resume from checkpoint? (mirrors the host loop) ----

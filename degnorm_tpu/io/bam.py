@@ -323,7 +323,11 @@ class LazyQnames:
 
     def __array__(self, dtype=None, copy=None):
         a = self._materialize()
-        return a if dtype in (None, object) else a.astype(dtype)
+        if dtype not in (None, object):
+            return a.astype(dtype)       # astype always copies
+        # honor the numpy>=2 copy request — callers may mutate the result,
+        # which must not alias the shared cache
+        return a.copy() if copy else a
 
 
 def _cols_from_native(data) -> ReadColumns:
