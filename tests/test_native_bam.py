@@ -78,3 +78,34 @@ def test_native_coverage_kernel_matches_numpy(bam_file):
     for g in a.overlap_coverage:
         np.testing.assert_array_equal(a.overlap_coverage[g],
                                       b.overlap_coverage[g])
+
+
+def test_lazy_qnames_container_contract():
+    """LazyQnames (the native reader's lazy string view) must behave like
+    the object ndarray it replaced: len/iter, int indexing, lazy
+    array/mask/slice subsetting, tolist, np.asarray materialization, and
+    the numpy>=2 __array__(copy=True) no-aliasing contract."""
+    import numpy as np
+    from degnorm_tpu.io.bam import LazyQnames
+
+    blob = b"read.1\x00r2\x00longername.2\x00x\x00"
+    offs = np.array([0, 7, 10, 23, 25], np.int64)
+    lq = LazyQnames(blob, offs[:-1], offs[1:] - 1)
+    assert len(lq) == 4
+    assert lq[0] == "read.1" and lq[2] == "longername.2"
+    assert list(lq) == ["read.1", "r2", "longername.2", "x"]
+    assert lq.tolist() == ["read.1", "r2", "longername.2", "x"]
+    # lazy subsetting: int array, bool mask, slice — no materialization
+    sub = lq[np.array([2, 0])]
+    assert isinstance(sub, LazyQnames) and sub.tolist() == \
+        ["longername.2", "read.1"]
+    masked = lq[np.array([True, False, True, False])]
+    assert masked.tolist() == ["longername.2"] if False else \
+        masked.tolist() == ["read.1", "longername.2"]
+    assert lq[1:3].tolist() == ["r2", "longername.2"]
+    # np.asarray materializes; copy=True must not alias the shared cache
+    a = np.asarray(lq)
+    assert a.dtype == object and a[1] == "r2"
+    b = np.array(lq)            # numpy>=2: copy=True by default
+    b[1] = "mutated"
+    assert np.asarray(lq)[1] == "r2"
