@@ -100,8 +100,7 @@ def test_lazy_qnames_container_contract():
     assert isinstance(sub, LazyQnames) and sub.tolist() == \
         ["longername.2", "read.1"]
     masked = lq[np.array([True, False, True, False])]
-    assert masked.tolist() == ["longername.2"] if False else \
-        masked.tolist() == ["read.1", "longername.2"]
+    assert masked.tolist() == ["read.1", "longername.2"]
     assert lq[1:3].tolist() == ["r2", "longername.2"]
     # np.asarray materializes; copy=True must not alias the shared cache
     a = np.asarray(lq)
