@@ -82,7 +82,17 @@ def main():
     np.testing.assert_allclose(res_t.rho, res_x.rho, rtol=5e-2, atol=5e-3)
     print(f"[smoke] nmf_tol fit ok           ({time.time() - t0:.1f}s)")
 
-    # 4. multichip dryrun (gene-sharded shard_map step, Pallas included)
+    # 4. device-resident outer loop (single-process path incl. the
+    #    presort/reorder fetches), cross-checked against the host loop
+    eng_d = DegNormEngine(nmf_cfg, EngineConfig(
+        use_pallas=True, pallas_interpret=True, device_loop=True))
+    res_d = eng_d.run(cov, counts)
+    np.testing.assert_array_equal(res_d.ran_baseline_selection,
+                                  res_x.ran_baseline_selection)
+    np.testing.assert_allclose(res_d.rho, res_x.rho, rtol=5e-3, atol=5e-4)
+    print(f"[smoke] device-loop fit ok       ({time.time() - t0:.1f}s)")
+
+    # 5. multichip dryrun (gene-sharded shard_map step, Pallas included)
     import __graft_entry__ as g
     g.dryrun_multichip(2)
     print(f"[smoke] dryrun_multichip(2) ok   ({time.time() - t0:.1f}s)")
