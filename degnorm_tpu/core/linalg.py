@@ -71,6 +71,56 @@ def _eigh_dominant(B: jnp.ndarray) -> jnp.ndarray:
     return u * jnp.where(jnp.sum(u, axis=-1, keepdims=True) < 0, -1.0, 1.0)
 
 
+def masked_rank_one_uv(
+    F: jnp.ndarray,
+    mask: jnp.ndarray,
+    *,
+    n_iters: int = 30,
+    u0: Optional[jnp.ndarray] = None,
+    method: str = "power",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scale-free rank-1 state: (u, v_raw = Aᵀu), no sigma.
+
+    Inside the Lagrangian NMF-OA loop the estimate K·E = (u·s)·(Aᵀu/s)ᵀ
+    == u ⊗ (Aᵀu) exactly — the scale cancels — so the per-iteration
+    Rayleigh quotient, sqrt and the (G, W)-sized divide of
+    ``masked_rank_one`` are dead work on the loop's serial dependency
+    chain (the streamed kernel, ops/pallas_stream.py, always worked this
+    way).  Callers materialize K, E once after the loop via
+    ``finish_rank_one``.
+    """
+    m = mask.astype(F.dtype)
+    A = F * m[:, None, :]
+    B = _gram(A)
+    if method == "eigh":
+        u = _eigh_dominant(B)
+    else:
+        if u0 is None:
+            u0 = jnp.ones(F.shape[:2], dtype=F.dtype)
+            u0 = u0 / jnp.sqrt(jnp.asarray(F.shape[1], F.dtype))
+        u = _power_iterate(B, u0, n_iters)
+    v = jnp.einsum("gpw,gp->gw", A, u, preferred_element_type=F.dtype)
+    return u, v
+
+
+def finish_rank_one(
+    X: jnp.ndarray,
+    mask: jnp.ndarray,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Materialize (K, E) from a ``masked_rank_one_uv`` state: s from the
+    Rayleigh quotient of X's Gram (identical op order to
+    ``masked_rank_one``'s tail, so the result matches the per-iteration
+    form bit-for-bit on the final iterate)."""
+    m = mask.astype(X.dtype)
+    A = X * m[:, None, :]
+    B = _gram(A)
+    Bu = jnp.einsum("gpq,gq->gp", B, u, preferred_element_type=X.dtype)
+    s = jnp.sqrt(jnp.maximum(jnp.einsum("gp,gp->g", u, Bu), 0.0))
+    return u * s[:, None], v / (s[:, None] + _EPS)
+
+
 def masked_rank_one(
     F: jnp.ndarray,
     mask: jnp.ndarray,

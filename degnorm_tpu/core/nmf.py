@@ -18,7 +18,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from degnorm_tpu.core.linalg import masked_rank_one, outer_product
+from degnorm_tpu.core.linalg import (finish_rank_one, masked_rank_one,
+                                     masked_rank_one_uv, outer_product)
 
 
 def nmf_masked(
@@ -113,8 +114,6 @@ def nmf_masked(
     m = mask.astype(F.dtype)
     A0 = F * m[:, None, :]
 
-    K, E, u = masked_rank_one(F, mask, n_iters=power_iters_cold,
-                              method=method, u0=u0)
     step = 1.0 / jnp.sqrt(jnp.asarray(nmf_iter, F.dtype))
 
     # X-form of the multiplier update (kept in lockstep with the fused
@@ -124,6 +123,12 @@ def nmf_masked(
     # reals, one fewer elementwise pass on device; floating-point drift is
     # reassociation-class only.  Masked columns stay exactly zero (est and
     # A0 both vanish there, so max(0 - 0, 0) = 0).
+    #
+    # Scale-free carry (also in lockstep with the fused kernel and the
+    # streamed kernel, which always worked this way): est = K·E ==
+    # u ⊗ (Xᵀu) exactly — the singular value cancels — so the loop carries
+    # (u, v = Xᵀu) and skips masked_rank_one's per-iteration Rayleigh/
+    # sqrt/divide tail; K, E materialize once after the loop.
     def body(_, carry):
         X, K, E, u = carry
         est = outer_product(K, E)
@@ -133,6 +138,8 @@ def nmf_masked(
         return X, K, E, u
 
     if nmf_tol > 0:
+        K, E, u = masked_rank_one(F, mask, n_iters=power_iters_cold,
+                                  method=method, u0=u0)
         # Adaptive convergence (EngineConfig.nmf_tol, opt-in): per-gene
         # freeze + all-frozen early exit.  A frozen gene's state stops
         # updating entirely (X included — its packed-kernel twin refines E
@@ -161,7 +168,19 @@ def nmf_masked(
         _, X, K, E, u, _ = jax.lax.while_loop(cond_a, body_a, carry)
         return K, E, u
 
-    X, K, E, u = jax.lax.fori_loop(0, nmf_iter, body, (A0, K, E, u))
+    u, v = masked_rank_one_uv(F, mask, n_iters=power_iters_cold,
+                              method=method, u0=u0)
+
+    def body_uv(_, carry):
+        X, u, v = carry
+        est = outer_product(u, v)
+        X = jnp.maximum(X - step * (est - A0), A0)
+        u, v = masked_rank_one_uv(X, mask, n_iters=power_iters_warm,
+                                  u0=u, method=method)
+        return X, u, v
+
+    X, u, v = jax.lax.fori_loop(0, nmf_iter, body_uv, (A0, u, v))
+    K, E = finish_rank_one(X, mask, u, v)
     return K, E, u
 
 

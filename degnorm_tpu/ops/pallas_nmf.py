@@ -254,6 +254,46 @@ def _rank1(X, u0, n_iters, gram_mode="vpu", warm_plain=0):
     return u * s[:, None], v, u
 
 
+def _rank1_uv(X, u0, n_iters, gram_mode="vpu", warm_plain=0):
+    """Scale-free rank-1 state (u, v = Xᵀu) — no Rayleigh/sqrt/divide.
+
+    Inside the Lagrangian loop est = K·E == u ⊗ (Xᵀu) exactly (the
+    singular value cancels), so ``_rank1``'s per-iteration tail — the Bu
+    matvec, the Rayleigh reduce + sqrt, the (BG, W)-sized divide of v and
+    the u·s scale — is dead work on the serial-issue-bound chain (the
+    streamed kernel, ops/pallas_stream.py, always worked this way).
+    ``_finish_KE`` materializes K, E once after the loop."""
+    if gram_mode == "packed_slice":
+        p, W = X.shape[1], X.shape[2]
+        groups = _pack_groups(X)
+        B = _gram_from_groups(groups, p)
+        u = (_power_warm(B, u0, warm_plain) if warm_plain
+             else _power(B, u0, n_iters))
+        return u, _v_from_groups(groups, u, p, W)
+    B = _gram_dispatch(X, gram_mode)
+    u = (_power_warm(B, u0, warm_plain) if warm_plain
+         else _power(B, u0, n_iters))
+    return u, jnp.sum(X * u[:, :, None], axis=1)
+
+
+def _finish_KE(X, u, v, gram_mode):
+    """Materialize (K, E) from a ``_rank1_uv`` loop state: s from the
+    Rayleigh quotient of X's Gram, K = u·s; E = v/s for the f32 modes, or
+    the f32 refinement pass for packed_slice (whose in-loop v rides bf16
+    panels — same tail as the old per-iteration ``_rank1`` form, computed
+    once per loop instead of once per iteration)."""
+    if gram_mode == "packed_slice":
+        B = _gram_from_groups(_pack_groups(X), X.shape[1])
+    else:
+        B = _gram_dispatch(X, gram_mode)
+    Bu = jnp.sum(B * u[:, None, :], axis=2)
+    s = jnp.sqrt(jnp.maximum(jnp.sum(u * Bu, axis=1), 0.0))
+    K = u * s[:, None]
+    if gram_mode == "packed_slice":
+        return K, _refine_E_f32(X, K, u)
+    return K, v / (s[:, None] + _EPS)
+
+
 def _refine_E_f32(X, K, u):
     """One f32 pass recomputing E = X^T u / ||K|| (u is unit, so
     s = ||K||_2 exactly).  The packed modes' inner iterations read X only
@@ -282,6 +322,13 @@ def _nmf_loop(A0, lam_ref, *, nmf_iter, power_cold, power_warm, gram_mode,
     (EngineConfig.lam_dtype, opt-in) keeps the lambda-form: rounding X
     would scale the storage error by X's magnitude instead of lambda's.
 
+    At ``nmf_tol == 0`` (the default) the loop carries the scale-free
+    state (u, v = Xᵀu): est = K·E == u ⊗ v exactly (the singular value
+    cancels), so the per-iteration Rayleigh/sqrt/divide/scale tail of
+    ``_rank1`` is skipped and K, E materialize once via ``_finish_KE`` —
+    the same shape the streamed kernel always had.  The XLA twin
+    (core/nmf.py) is in lockstep.
+
     ``u0``: optional warm start for the cold rank-1 (the trim loop passes
     the previous round's left vectors with ``power_cold`` already reduced
     to EngineConfig.power_iters_resume).
@@ -298,24 +345,52 @@ def _nmf_loop(A0, lam_ref, *, nmf_iter, power_cold, power_warm, gram_mode,
     if u0 is None:
         u0 = jnp.full((BG, p), 1.0 / (p ** 0.5), A0.dtype)
 
-    K, E, u = _rank1(A0, u0, power_cold, gram_mode)
     step = 1.0 / (nmf_iter ** 0.5)
     lam_form = lam_ref.dtype != A0.dtype          # bf16 opt-in storage
 
+    if nmf_tol <= 0:
+        # Scale-free fast path: carry (u, v = Xᵀu) — est = K·E == u ⊗ v
+        # exactly, so _rank1's per-iteration Rayleigh/sqrt/divide/scale
+        # tail is skipped; _finish_KE materializes K, E once at the end.
+        # (The adaptive nmf_tol path below keeps the (K, E, u) carry: its
+        # per-gene freeze test is defined on K = u·s.)
+        u, v = _rank1_uv(A0, u0, power_cold, gram_mode)
+
+        if lam_form:
+            lam_ref[:] = jnp.zeros(lam_ref.shape, lam_ref.dtype)
+
+            def body_uv(_, carry):
+                # The multipliers are STORED bf16 (EngineConfig.lam_dtype)
+                # — the update runs f32 and the unrounded value feeds this
+                # iteration's X, so rounding enters once per iteration.
+                u, v = carry
+                est = u[:, :, None] * v[:, None, :]
+                lam = jnp.maximum(
+                    lam_ref[:].astype(A0.dtype) - step * (est - A0), 0.0)
+                lam_ref[:] = lam.astype(lam_ref.dtype)
+                return _rank1_uv(A0 + lam, u, power_warm, gram_mode,
+                                 warm_plain=warm_plain)
+        else:
+            lam_ref[:] = A0
+
+            def body_uv(_, carry):
+                u, v = carry
+                est = u[:, :, None] * v[:, None, :]
+                X = jnp.maximum(lam_ref[:] - step * (est - A0), A0)
+                lam_ref[:] = X
+                return _rank1_uv(X, u, power_warm, gram_mode,
+                                 warm_plain=warm_plain)
+
+        u, v = jax.lax.fori_loop(0, nmf_iter, body_uv, (u, v))
+        X_fin = (A0 + lam_ref[:].astype(A0.dtype) if lam_form
+                 else lam_ref[:])
+        K, E = _finish_KE(X_fin, u, v, gram_mode)
+        return K, E, u
+
+    K, E, u = _rank1(A0, u0, power_cold, gram_mode)
+
     if lam_form:
         lam_ref[:] = jnp.zeros(lam_ref.shape, lam_ref.dtype)
-
-        def body(_, carry):
-            # The multipliers are STORED bf16 (EngineConfig.lam_dtype) —
-            # the update runs f32 and the unrounded value feeds this
-            # iteration's X, so rounding enters once per iteration.
-            K, E, u = carry
-            est = K[:, :, None] * E[:, None, :]
-            lam = jnp.maximum(
-                lam_ref[:].astype(A0.dtype) - step * (est - A0), 0.0)
-            lam_ref[:] = lam.astype(lam_ref.dtype)
-            return _rank1(A0 + lam, u, power_warm, gram_mode,
-                          warm_plain=warm_plain)
 
         def body_frozen(carry):
             K, E, u, done = carry
@@ -330,14 +405,6 @@ def _nmf_loop(A0, lam_ref, *, nmf_iter, power_cold, power_warm, gram_mode,
     else:
         lam_ref[:] = A0
 
-        def body(_, carry):
-            K, E, u = carry
-            est = K[:, :, None] * E[:, None, :]
-            X = jnp.maximum(lam_ref[:] - step * (est - A0), A0)
-            lam_ref[:] = X
-            return _rank1(X, u, power_warm, gram_mode,
-                          warm_plain=warm_plain)
-
         def body_frozen(carry):
             K, E, u, done = carry
             X_old = lam_ref[:]
@@ -347,36 +414,33 @@ def _nmf_loop(A0, lam_ref, *, nmf_iter, power_cold, power_warm, gram_mode,
             return _rank1(X, u, power_warm, gram_mode,
                           warm_plain=warm_plain)
 
-    if nmf_tol > 0:
-        # Adaptive convergence: the freeze test and masking mirror
-        # core/nmf.py's adaptive while_loop exactly — a frozen gene's
-        # consumed state never changes (the candidate rank-1 still runs on
-        # all genes; its result is discarded for frozen ones, like the XLA
-        # twin's jnp.where masking).  ``done`` rides as a {0,1} (BG, 1)
-        # float column — Mosaic vectorizes f32 selects on every shape here.
-        tol = jnp.asarray(nmf_tol, A0.dtype)
+    # Adaptive convergence: the freeze test and masking mirror
+    # core/nmf.py's adaptive while_loop exactly — a frozen gene's
+    # consumed state never changes (the candidate rank-1 still runs on
+    # all genes; its result is discarded for frozen ones, like the XLA
+    # twin's jnp.where masking).  ``done`` rides as a {0,1} (BG, 1)
+    # float column — Mosaic vectorizes f32 selects on every shape here.
+    tol = jnp.asarray(nmf_tol, A0.dtype)
 
-        def cond_a(carry):
-            i, K, E, u, done = carry
-            return (i < nmf_iter) & (jnp.min(done) < 0.5)
+    def cond_a(carry):
+        i, K, E, u, done = carry
+        return (i < nmf_iter) & (jnp.min(done) < 0.5)
 
-        def body_a(carry):
-            i, K, E, u, done = carry
-            Kn, En, un = body_frozen((K, E, u, done))
-            Kn = jnp.where(done > 0, K, Kn)
-            En = jnp.where(done > 0, E, En)
-            un = jnp.where(done > 0, u, un)
-            delta = jnp.max(jnp.abs(Kn - K), axis=1, keepdims=True)
-            ref = jnp.maximum(jnp.max(jnp.abs(Kn), axis=1, keepdims=True),
-                              1e-30)
-            done = jnp.maximum(done, (delta <= tol * ref).astype(A0.dtype))
-            return i + 1, Kn, En, un, done
+    def body_a(carry):
+        i, K, E, u, done = carry
+        Kn, En, un = body_frozen((K, E, u, done))
+        Kn = jnp.where(done > 0, K, Kn)
+        En = jnp.where(done > 0, E, En)
+        un = jnp.where(done > 0, u, un)
+        delta = jnp.max(jnp.abs(Kn - K), axis=1, keepdims=True)
+        ref = jnp.maximum(jnp.max(jnp.abs(Kn), axis=1, keepdims=True),
+                          1e-30)
+        done = jnp.maximum(done, (delta <= tol * ref).astype(A0.dtype))
+        return i + 1, Kn, En, un, done
 
-        carry = (jnp.zeros((), jnp.int32), K, E, u,
-                 jnp.zeros((BG, 1), A0.dtype))
-        _, K, E, u, _ = jax.lax.while_loop(cond_a, body_a, carry)
-    else:
-        K, E, u = jax.lax.fori_loop(0, nmf_iter, body, (K, E, u))
+    carry = (jnp.zeros((), jnp.int32), K, E, u,
+             jnp.zeros((BG, 1), A0.dtype))
+    _, K, E, u, _ = jax.lax.while_loop(cond_a, body_a, carry)
     if gram_mode == "packed_slice":
         X_fin = (A0 + lam_ref[:].astype(A0.dtype) if lam_form
                  else lam_ref[:])

@@ -35,8 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from degnorm_tpu.ops.pallas_nmf import (_VMEM_BUDGET, _nmf_loop, _rank1,
-                                        _refine_E_f32, _resolve_lam_dtype,
+from degnorm_tpu.ops.pallas_nmf import (_VMEM_BUDGET, _finish_KE, _nmf_loop,
+                                        _rank1_uv, _resolve_lam_dtype,
                                         _trim_blocks)
 
 _NEG = -1e30
@@ -145,11 +145,15 @@ def _trim_kernel(fm_ref, binid_ref, bincnt_ref, k0_ref, e0_ref, rho0_ref,
                 else:
                     X0 = lam_ref[:] * can[:, None, :]   # = A0 + lam*can
                     lam_ref[:] = X0
-                Kc, Ec, uc = _rank1(X0, u, power_warm, gram_mode)
+                # Scale-free (u, v = Xᵀu) carry — est = K·E == u ⊗ v, so
+                # _rank1's per-iteration Rayleigh/sqrt/divide tail is dead
+                # (see ops/pallas_nmf.py::_rank1_uv); K, E materialize
+                # once per round via _finish_KE.
+                uc, vc = _rank1_uv(X0, u, power_warm, gram_mode)
 
                 def fbody(_, carry):
-                    Kc, Ec, uc = carry
-                    est = Kc[:, :, None] * Ec[:, None, :]
+                    uc, vc = carry
+                    est = uc[:, :, None] * vc[:, None, :]
                     if lam_form:
                         lam = jnp.maximum(
                             lam_ref[:].astype(dtype) - step * (est - A0),
@@ -159,14 +163,13 @@ def _trim_kernel(fm_ref, binid_ref, bincnt_ref, k0_ref, e0_ref, rho0_ref,
                     else:
                         X = jnp.maximum(lam_ref[:] - step * (est - A0), A0)
                         lam_ref[:] = X
-                    return _rank1(X, uc, power_warm, gram_mode,
-                                  warm_plain=warm_plain)
+                    return _rank1_uv(X, uc, power_warm, gram_mode,
+                                     warm_plain=warm_plain)
 
-                Kn, En, un = jax.lax.fori_loop(0, n_it, fbody, (Kc, Ec, uc))
-                if gram_mode == "packed_slice":
-                    X_fin = (A0 + lam_ref[:].astype(dtype) if lam_form
-                             else lam_ref[:])
-                    En = _refine_E_f32(X_fin, Kn, un)
+                un, vn = jax.lax.fori_loop(0, n_it, fbody, (uc, vc))
+                X_fin = (A0 + lam_ref[:].astype(dtype) if lam_form
+                         else lam_ref[:])
+                Kn, En = _finish_KE(X_fin, un, vn, gram_mode)
             else:
                 # cold rank-1 warm-started from the previous round's left
                 # vector at the reduced resume iteration count (the Perron
