@@ -122,3 +122,28 @@ def test_baseline_bucket_tiny_genes_bail():
     res = baseline_select_bucket(F, mask, cfg, eng)
     assert np.all(np.asarray(res.bailed))
     np.testing.assert_array_equal(np.asarray(res.rho), 0.0)
+
+
+@pytest.mark.parametrize("method", ["power", "eigh"])
+def test_rank_one_uv_finish_matches_masked_rank_one(method):
+    """The scale-free carry (masked_rank_one_uv + finish_rank_one) must
+    reproduce masked_rank_one BITWISE on the same iterate: uv skips only
+    the scale tail, and finish_rank_one replays that tail in the same op
+    order (core/linalg.py; the Lagrangian loops rely on the est = u ⊗ v
+    identity this pins down)."""
+    from degnorm_tpu.core.linalg import finish_rank_one, masked_rank_one_uv
+
+    rng = np.random.default_rng(11)
+    mats = [random_coverage(rng, 4, L, degraded=True) for L in (90, 200, 256)]
+    F, mask = make_bucket(mats, 256)
+    K1, E1, u1 = masked_rank_one(F, mask, n_iters=32, method=method)
+    u2, v2 = masked_rank_one_uv(F, mask, n_iters=32, method=method)
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+    K2, E2 = finish_rank_one(F, mask, u2, v2)
+    np.testing.assert_array_equal(np.asarray(K1), np.asarray(K2))
+    np.testing.assert_array_equal(np.asarray(E1), np.asarray(E2))
+    # the scale-cancellation identity itself: K·E == u ⊗ v up to the f32/
+    # f64 divide-multiply round trip
+    np.testing.assert_allclose(
+        np.asarray(outer_product(K2, E2)),
+        np.asarray(outer_product(u2, v2)), rtol=1e-12, atol=1e-12)
