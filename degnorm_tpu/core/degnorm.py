@@ -96,3 +96,80 @@ def device_iteration_math(rho_raw, x_weighted, scale_factors):
 def rho_from_ratio_svd(cov_sums: np.ndarray, est_sums: np.ndarray) -> np.ndarray:
     """Initial DI scores 1 - sum(F)/(sum(est)+1) (nmf.py:524-526)."""
     return 1 - cov_sums / (est_sums + 1)
+
+
+# ---- double-float device twins (f64-grade outer updates on TPU) ---------
+#
+# TPUs have no float64; the plain-f32 ``device_iteration_math`` perturbs
+# the cumulative scale factors by ~1e-6 relative per iteration, which
+# chaotically amplifies through borderline trim decisions (measured
+# adjusted-count maxrel 4e-2 vs the f64 host loop, BENCHMARKS.md round 3).
+# These twins run the SAME op order in two-float32 compensated arithmetic
+# (core/dfloat.py, ~49-bit significand), shrinking the per-op perturbation
+# to ~1e-14 — below the threshold where borderline decisions flip — so the
+# device-resident outer loop matches the host loop's float64 updates to
+# f64-rounding-class accuracy and can be the single-chip default.
+
+def df_iteration_math(rho_raw, xw, scale):
+    """Double-float twin of ``iteration_update`` / ``device_iteration_math``
+    (reference nmf.py:396-399,574-590).  ``xw``/``scale`` are dfloat.DF
+    pairs; ``rho_raw`` is the kernels' (n, p) f32 output (exactly what the
+    f64 host loop receives).  Returns (rho, x_adj, xw', norm, scale') as
+    DF pairs — callers recombine to float64 on host via dfloat.to_f64_np.
+    """
+    import jax.numpy as jnp
+
+    from degnorm_tpu.core import dfloat as dfm
+
+    rho32 = jnp.clip(rho_raw, 0.0, 0.9)
+    rho = dfm.lift(rho32)                       # clip output is exact
+    one = dfm.const(1.0, rho32)
+    x_adj = dfm.div(xw, dfm.sub(one, rho))
+    non_bs = jnp.max(rho32, axis=1) == 0
+    sum_xw = dfm.dsum(xw, axis=0)               # (p,)
+    sum_adj = dfm.dsum(x_adj, axis=0)
+    sample_avg = dfm.sub(dfm.const(1.0, sum_xw.hi),
+                         dfm.div(sum_xw, sum_adj))
+    rho = dfm.where(non_bs[:, None],
+                    dfm.DF(sample_avg.hi[None, :], sample_avg.lo[None, :]),
+                    rho)
+    x_adj = dfm.div(xw, dfm.sub(one, rho))
+    col = dfm.dsum(x_adj, axis=0)
+    med = dfm.median_1d(col)
+    norm = dfm.div(col, dfm.DF(jnp.broadcast_to(med.hi, col.hi.shape),
+                               jnp.broadcast_to(med.lo, col.hi.shape)))
+    xw_new = dfm.div(xw, dfm.DF(norm.hi[None, :], norm.lo[None, :]))
+    scale_new = dfm.mul(scale, norm)
+    return rho, x_adj, xw_new, norm, scale_new
+
+
+def df_init_math(cov_sums, est_sums, x):
+    """Double-float twin of ``init_state`` + ``rho_from_ratio_svd``
+    (nmf.py:512-535).  ``cov_sums``/``est_sums`` are the kernels' (n, p)
+    f32 ratio-SVD row sums; ``x`` is the raw count matrix as a DF pair.
+    Returns (xw, norm, rho) — xw/norm as DF, rho as the (n, p) f32 initial
+    DI (for the engine's presort; threshold decisions use the df value).
+    """
+    import jax.numpy as jnp
+
+    from degnorm_tpu.core import dfloat as dfm
+
+    cov = dfm.lift(cov_sums)
+    est = dfm.lift(est_sums)
+    rho = dfm.sub(dfm.const(1.0, cov_sums),
+                  dfm.div(cov, dfm.add(est, dfm.const(1.0, est_sums))))
+    # low-DI gene set: max_p rho < 0.1 in true df order (nmf.py:529-531)
+    rmax = dfm.dmax(rho, axis=1)                # (n,)
+    low_di = (rmax.hi < 0.1) | ((rmax.hi == 0.1) & (rmax.lo < 0))
+    any_low = jnp.any(low_di)
+    zeros = dfm.DF(jnp.zeros_like(x.hi), jnp.zeros_like(x.lo))
+    masked = dfm.where(low_di[:, None], x, zeros)
+    sums_low = dfm.dsum(masked, axis=0)
+    sums_all = dfm.dsum(x, axis=0)
+    count_sums = dfm.where(any_low, sums_low, sums_all)
+    med = dfm.median_1d(count_sums)
+    norm = dfm.div(count_sums,
+                   dfm.DF(jnp.broadcast_to(med.hi, count_sums.hi.shape),
+                          jnp.broadcast_to(med.lo, count_sums.hi.shape)))
+    xw = dfm.div(x, dfm.DF(norm.hi[None, :], norm.lo[None, :]))
+    return xw, norm, dfm.to_f32(rho)

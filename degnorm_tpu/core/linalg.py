@@ -82,7 +82,10 @@ def masked_rank_one_uv(
     """Scale-free rank-1 state: (u, v_raw = Aᵀu), no sigma.
 
     Inside the Lagrangian NMF-OA loop the estimate K·E = (u·s)·(Aᵀu/s)ᵀ
-    == u ⊗ (Aᵀu) exactly — the scale cancels — so the per-iteration
+    == u ⊗ (Aᵀu) exactly — the scale cancels (exact up to the 1e-30 eps
+    regularizer in ``masked_rank_one``'s divide, which is below f32/f64
+    resolution for any nonzero s; at s=0, v=0 so both forms give est=0)
+    — so the per-iteration
     Rayleigh quotient, sqrt and the (G, W)-sized divide of
     ``masked_rank_one`` are dead work on the loop's serial dependency
     chain (the streamed kernel, ops/pallas_stream.py, always worked this

@@ -276,12 +276,20 @@ def _rank1_uv(X, u0, n_iters, gram_mode="vpu", warm_plain=0):
     return u, jnp.sum(X * u[:, :, None], axis=1)
 
 
-def _finish_KE(X, u, v, gram_mode):
+def _finish_KE(X, u, v, gram_mode, recompute_v=False):
     """Materialize (K, E) from a ``_rank1_uv`` loop state: s from the
     Rayleigh quotient of X's Gram, K = u·s; E = v/s for the f32 modes, or
     the f32 refinement pass for packed_slice (whose in-loop v rides bf16
     panels — same tail as the old per-iteration ``_rank1`` form, computed
-    once per loop instead of once per iteration)."""
+    once per loop instead of once per iteration).
+
+    ``recompute_v``: re-derive v = Xᵀu from THIS X instead of the carried
+    v.  The bf16 lam-storage paths pass True: their carried v came from
+    the last iteration's UNROUNDED X = A0 + lam while the X given here is
+    rebuilt from the ROUNDED stored multipliers — recomputing keeps K and
+    E a consistent rank-1 projection of one X state (K·E = u uᵀ X).  For
+    the f32 paths the carried v is already bitwise-identical to Xᵀu, so
+    recomputing would only add a block pass."""
     if gram_mode == "packed_slice":
         B = _gram_from_groups(_pack_groups(X), X.shape[1])
     else:
@@ -291,6 +299,8 @@ def _finish_KE(X, u, v, gram_mode):
     K = u * s[:, None]
     if gram_mode == "packed_slice":
         return K, _refine_E_f32(X, K, u)
+    if recompute_v:
+        v = jnp.sum(X * u[:, :, None], axis=1)
     return K, v / (s[:, None] + _EPS)
 
 
@@ -384,7 +394,7 @@ def _nmf_loop(A0, lam_ref, *, nmf_iter, power_cold, power_warm, gram_mode,
         u, v = jax.lax.fori_loop(0, nmf_iter, body_uv, (u, v))
         X_fin = (A0 + lam_ref[:].astype(A0.dtype) if lam_form
                  else lam_ref[:])
-        K, E = _finish_KE(X_fin, u, v, gram_mode)
+        K, E = _finish_KE(X_fin, u, v, gram_mode, recompute_v=lam_form)
         return K, E, u
 
     K, E, u = _rank1(A0, u0, power_cold, gram_mode)

@@ -169,7 +169,11 @@ def _trim_kernel(fm_ref, binid_ref, bincnt_ref, k0_ref, e0_ref, rho0_ref,
                 un, vn = jax.lax.fori_loop(0, n_it, fbody, (uc, vc))
                 X_fin = (A0 + lam_ref[:].astype(dtype) if lam_form
                          else lam_ref[:])
-                Kn, En = _finish_KE(X_fin, un, vn, gram_mode)
+                # recompute_v in the bf16 lam mode: vn came from the last
+                # UNROUNDED X while X_fin is rebuilt from the rounded
+                # stored multipliers (see _finish_KE's docstring)
+                Kn, En = _finish_KE(X_fin, un, vn, gram_mode,
+                                    recompute_v=lam_form)
             else:
                 # cold rank-1 warm-started from the previous round's left
                 # vector at the reduced resume iteration count (the Perron

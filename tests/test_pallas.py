@@ -110,6 +110,34 @@ def test_bf16_lambda_storage_drift():
                                rtol=5e-3, atol=5e-3)
 
 
+def test_bf16_lambda_trim_fast_drift():
+    """trim_fast + lam_dtype="bf16" (both opt-in): the warm-restarted trim
+    rounds with bf16-stored multipliers must stay within the bf16-product
+    tolerance class of the f32-stored trim_fast path, with identical
+    baseline-selection decisions.  Also pins the ADVICE-round fix that
+    _finish_KE recomputes v from the ROUNDED X_fin in the lam_form paths
+    (K and E now factor one consistent X state)."""
+    rng = np.random.default_rng(54)
+    mats = [random_coverage(rng, 8, L, degraded=(i % 2 == 0)
+                            ).astype(np.float32)
+            for i, L in enumerate((200, 256, 180, 230, 140, 250, 210, 160))]
+    F, mask = make_bucket(mats, 256, dtype=np.float32)
+    cfg = NMFConfig(nmf_iter=12)
+    base = dict(use_pallas=True, pallas_interpret=True, fuse_trim=True,
+                trim_fast=True)
+    r_f32 = baseline_select_bucket(F, mask, cfg, EngineConfig(**base))
+    r_bf16 = baseline_select_bucket(
+        F, mask, cfg, EngineConfig(lam_dtype="bf16", **base))
+    assert int(np.asarray(r_f32.ran_bs).sum()) > 0, "trim loop never ran"
+    np.testing.assert_array_equal(np.asarray(r_f32.ran_bs),
+                                  np.asarray(r_bf16.ran_bs))
+    np.testing.assert_allclose(np.asarray(r_bf16.rho),
+                               np.asarray(r_f32.rho), rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(r_bf16.est_K),
+                               np.asarray(r_f32.est_K),
+                               rtol=5e-3, atol=5e-3)
+
+
 def test_nmf_tol_xla_adaptive_matches_full_loop():
     """EngineConfig.nmf_tol (opt-in adaptive convergence) on the XLA path:
     at a tight tolerance the frozen-gene loop must stay within the
