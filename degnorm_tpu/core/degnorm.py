@@ -121,8 +121,17 @@ def df_iteration_math(rho_raw, xw, scale):
 
     from degnorm_tpu.core import dfloat as dfm
 
-    rho32 = jnp.clip(rho_raw, 0.0, 0.9)
-    rho = dfm.lift(rho32)                       # clip output is exact
+    # clip to [0, 0.9] in df: the upper bound 0.9 is NOT f32-representable
+    # (f32(0.9) is 2.4e-8 low), and the host loop clips in float64 — so
+    # clipped entries must take the df representation of the f64 0.9 or
+    # every deep-degradation row's 1/(1-rho) shifts by f32-class error.
+    lo_clip = jnp.maximum(rho_raw, 0.0)         # exact in f32
+    hi09, lo09 = dfm.from_f64_np(np.float64(0.9))
+    up = dfm.DF(jnp.full_like(lo_clip, hi09), jnp.full_like(lo_clip, lo09))
+    # lo09 > 0, so raw f32 values exceed f64 0.9 iff raw > hi09
+    clip_up = lo_clip > jnp.asarray(hi09, lo_clip.dtype)
+    rho = dfm.where(clip_up, up, dfm.lift(lo_clip))
+    rho32 = dfm.to_f32(rho)
     one = dfm.const(1.0, rho32)
     x_adj = dfm.div(xw, dfm.sub(one, rho))
     non_bs = jnp.max(rho32, axis=1) == 0

@@ -37,24 +37,41 @@ class DF(NamedTuple):
 
 
 # ---- error-free transformations (f32, IEEE round-to-nearest) ------------
+#
+# CRITICAL: every EFT wraps its pivot intermediates in
+# lax.optimization_barrier.  XLA's algebraic simplifier performs the
+# real-arithmetic rewrite (a+b)-a -> b REGARDLESS of fast-math flags
+# (verified on both the CPU and TPU backends: jitted two-sum compensation
+# terms collapse to zero while eager mode is exact), which silently
+# deletes the compensation this module exists for.  The barrier makes the
+# rounded intermediate opaque to the pattern-matcher; it has no runtime
+# cost beyond lost fusion on these kilobyte-sized arrays.  This is the
+# documented JAX escape hatch for exactly this class of algorithm (the
+# optimization_barrier docs name compensated summation).
+
+def _b(x):
+    import jax
+    return jax.lax.optimization_barrier(x)
+
 
 def _quick_two_sum(a, b):
     """(s, e) with s = fl(a+b), s+e == a+b exactly; requires |a| >= |b|."""
-    s = a + b
+    s = _b(a + b)
     return s, b - (s - a)
 
 
 def _two_sum(a, b):
     """(s, e) with s = fl(a+b), s+e == a+b exactly; no magnitude order."""
-    s = a + b
-    bb = s - a
+    s = _b(a + b)
+    bb = _b(s - a)
     return s, (a - (s - bb)) + (b - bb)
 
 
 def _split(a):
     """Dekker split of an f32 into two 12-bit-significand halves."""
-    c = jnp.asarray(4097.0, a.dtype) * a          # 2^12 + 1
-    hi = c - (c - a)
+    c = _b(jnp.asarray(4097.0, a.dtype) * a)      # 2^12 + 1
+    t = _b(c - a)
+    hi = _b(c - t)
     return hi, a - hi
 
 
@@ -123,8 +140,9 @@ def mul(x: DF, y: DF) -> DF:
 
 def div(x: DF, y: DF) -> DF:
     """Long division: one f32 quotient digit + one compensated correction
-    (relative error ~2^-45 — the df64 class)."""
-    q1 = x.hi / y.hi
+    (relative error ~2^-45 — the df64 class).  q1 is barriered so the
+    simplifier cannot fold the residual's y*q1 back into x."""
+    q1 = _b(x.hi / y.hi)
     r = sub(x, mul(y, DF(q1, jnp.zeros_like(q1))))
     q2 = (r.hi + r.lo) / y.hi
     return DF(*_quick_two_sum(q1, q2))
