@@ -202,6 +202,14 @@ class EngineConfig:
     # core/degnorm.py). None = auto: enabled when the mesh spans multiple
     # processes (per-bucket results are then not host-materializable).
     device_loop: Optional[bool] = None
+    # Run the device loop's outer updates in two-float32 compensated
+    # arithmetic (core/dfloat.py, ~49 significand bits — measured max rel
+    # 4e-14 vs the host loop's float64 on TPU), instead of plain engine-
+    # dtype f32 (whose ~1e-6 per-op rounding amplified to 4e-2 adjusted-
+    # count drift through borderline-trim feedback in round 3).  The df
+    # ops are a handful of VPU passes over O(n*p)-kilobyte arrays —
+    # invisible next to the bucket kernels.
+    outer_df: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

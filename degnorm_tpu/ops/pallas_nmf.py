@@ -116,15 +116,20 @@ def _gram_dispatch(X, gram_mode):
     return _gram(X)
 
 
-def _pack_groups(X):
-    """View the (bg, p, W) block as bf16 row-panel groups of <=128 MXU rows:
-    [(g0, ng, Mg)] with Mg = rows [g0*p, (g0+ng)*p) of X.reshape(bg*p, W).
-
-    This is the ONLY materialization of X in the packed rank-1 path — both
-    the Gram and the v contraction read the bf16 panel, so the f32 X never
-    hits VMEM as a separate buffer."""
+def _pack_panel(X):
+    """The (bg*p, W) bf16 row panel of a (bg, p, W) block — the ONLY
+    materialization of X in the packed rank-1 paths; the Gram and the v
+    contraction both read it, so the f32 X never hits VMEM as a separate
+    buffer."""
     bg, p, W = X.shape
-    M = X.reshape(bg * p, W).astype(jnp.bfloat16)
+    return X.reshape(bg * p, W).astype(jnp.bfloat16)
+
+
+def _slice_groups(M, p):
+    """Slice a bf16 row panel into <=128-row MXU groups:
+    [(g0, ng, Mg)] with Mg = rows [g0*p, (g0+ng)*p)."""
+    rows, W = M.shape
+    bg = rows // p
     gpg = max(1, 128 // p)
     groups = []
     for g0 in range(0, bg, gpg):
@@ -132,6 +137,14 @@ def _pack_groups(X):
         groups.append((g0, ng,
                        jax.lax.slice(M, (g0 * p, 0), ((g0 + ng) * p, W))))
     return groups
+
+
+def _pack_groups(X):
+    """bf16 row-panel groups of a (bg, p, W) block (see _pack_panel)."""
+    return _slice_groups(_pack_panel(X), X.shape[1])
+
+
+_PACKED_MODES = ("packed_slice", "packed_bigv")
 
 
 def _gram_from_groups(groups, p):
@@ -168,6 +181,30 @@ def _v_from_groups(groups, u, p, W):
             Ug, Mg, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
     return jnp.concatenate(Vs, axis=0)                       # (bg, W)
+
+
+def _v_from_panel(M, u, p):
+    """v = X^T u for the WHOLE gene block in ONE matmul: U is the
+    (bg, bg*p) block-diagonal embedding of every gene's u row and
+    U @ M gives each gene's v as its own output row.
+
+    vs the per-group form (_v_from_groups, 128/p genes per matmul): one
+    MXU issue instead of ceil(bg*p/128), one iota/where mask build
+    instead of one per group, and no concatenate — on the serial-issue-
+    bound chain every removed op counts — while the MXU row padding
+    WASTE falls too (bg -> 128 rows once vs ng=128/p -> 128 per group).
+    The contraction length grows to bg*p, but the extra terms are the
+    zeros of the block-diagonal mask (f32 accumulation, bf16 products —
+    the usual packed tolerance class; accumulation-order drift only)."""
+    bg = u.shape[0]
+    rows = bg * p                                            # == M rows
+    u_rep = jnp.tile(u, (1, bg))                             # (bg, rows)
+    rid = jax.lax.broadcasted_iota(jnp.int32, (bg, rows), 0)
+    cid = jax.lax.broadcasted_iota(jnp.int32, (bg, rows), 1) // p
+    U = jnp.where(rid == cid, u_rep, 0.0).astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        U, M, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (bg, W)
 
 
 def _matsq(B):
@@ -235,15 +272,17 @@ def _rank1(X, u0, n_iters, gram_mode="vpu", warm_plain=0):
     normalize+square power preamble with that many plain warm-restart
     matvecs (see ``_power_warm``) — only meaningful when ``u0`` is already
     near the answer (the Lagrangian loop's warm starts)."""
-    if gram_mode == "packed_slice":
+    if gram_mode in _PACKED_MODES:
         p, W = X.shape[1], X.shape[2]
-        groups = _pack_groups(X)
-        B = _gram_from_groups(groups, p)
+        M = _pack_panel(X)
+        B = _gram_from_groups(_slice_groups(M, p), p)
         u = (_power_warm(B, u0, warm_plain) if warm_plain
              else _power(B, u0, n_iters))
         Bu = jnp.sum(B * u[:, None, :], axis=2)
         s = jnp.sqrt(jnp.maximum(jnp.sum(u * Bu, axis=1), 0.0))
-        v = _v_from_groups(groups, u, p, W) / (s[:, None] + _EPS)
+        v = (_v_from_panel(M, u, p) if gram_mode == "packed_bigv"
+             else _v_from_groups(_slice_groups(M, p), u, p, W))
+        v = v / (s[:, None] + _EPS)
         return u * s[:, None], v, u
     B = _gram_dispatch(X, gram_mode)
     u = (_power_warm(B, u0, warm_plain) if warm_plain
@@ -263,13 +302,15 @@ def _rank1_uv(X, u0, n_iters, gram_mode="vpu", warm_plain=0):
     the u·s scale — is dead work on the serial-issue-bound chain (the
     streamed kernel, ops/pallas_stream.py, always worked this way).
     ``_finish_KE`` materializes K, E once after the loop."""
-    if gram_mode == "packed_slice":
+    if gram_mode in _PACKED_MODES:
         p, W = X.shape[1], X.shape[2]
-        groups = _pack_groups(X)
-        B = _gram_from_groups(groups, p)
+        M = _pack_panel(X)
+        B = _gram_from_groups(_slice_groups(M, p), p)
         u = (_power_warm(B, u0, warm_plain) if warm_plain
              else _power(B, u0, n_iters))
-        return u, _v_from_groups(groups, u, p, W)
+        if gram_mode == "packed_bigv":
+            return u, _v_from_panel(M, u, p)
+        return u, _v_from_groups(_slice_groups(M, p), u, p, W)
     B = _gram_dispatch(X, gram_mode)
     u = (_power_warm(B, u0, warm_plain) if warm_plain
          else _power(B, u0, n_iters))
@@ -290,14 +331,14 @@ def _finish_KE(X, u, v, gram_mode, recompute_v=False):
     E a consistent rank-1 projection of one X state (K·E = u uᵀ X).  For
     the f32 paths the carried v is already bitwise-identical to Xᵀu, so
     recomputing would only add a block pass."""
-    if gram_mode == "packed_slice":
+    if gram_mode in _PACKED_MODES:
         B = _gram_from_groups(_pack_groups(X), X.shape[1])
     else:
         B = _gram_dispatch(X, gram_mode)
     Bu = jnp.sum(B * u[:, None, :], axis=2)
     s = jnp.sqrt(jnp.maximum(jnp.sum(u * Bu, axis=1), 0.0))
     K = u * s[:, None]
-    if gram_mode == "packed_slice":
+    if gram_mode in _PACKED_MODES:
         return K, _refine_E_f32(X, K, u)
     if recompute_v:
         v = jnp.sum(X * u[:, :, None], axis=1)
@@ -451,7 +492,7 @@ def _nmf_loop(A0, lam_ref, *, nmf_iter, power_cold, power_warm, gram_mode,
     carry = (jnp.zeros((), jnp.int32), K, E, u,
              jnp.zeros((BG, 1), A0.dtype))
     _, K, E, u, _ = jax.lax.while_loop(cond_a, body_a, carry)
-    if gram_mode == "packed_slice":
+    if gram_mode in _PACKED_MODES:
         X_fin = (A0 + lam_ref[:].astype(A0.dtype) if lam_form
                  else lam_ref[:])
         E = _refine_E_f32(X_fin, K, u)
@@ -488,7 +529,7 @@ def _ratio_kernel(a0_ref, cs_ref, es_ref, *, power_cold, gram_mode):
     BG, p, W = A0.shape
     u0 = jnp.full((BG, p), 1.0 / (p ** 0.5), A0.dtype)
     K, E, u = _rank1(A0, u0, power_cold, gram_mode)
-    if gram_mode == "packed_slice":
+    if gram_mode in _PACKED_MODES:
         E = _refine_E_f32(A0, K, u)
     est = jnp.maximum(K[:, :, None] * E[:, None, :], A0)
     # Unmasked sums are exact: E inherits the column mask through

@@ -113,7 +113,15 @@ def run_pipeline(cfg: PipelineConfig, output_dir: Optional[str] = None,
     ``write_outputs``: False on multihost worker processes — the
     coordinator owns every artifact in the (shared) output directory;
     workers keep ETL scratch in a process-private subdirectory and skip
-    final outputs/plots/report."""
+    final outputs/plots/report.
+
+    The returned dict carries a ``timings`` mapping with wall-clock
+    seconds per phase (etl, filters, fit, estimates, save, plots,
+    report) — the whole-pipeline observability the reference lacks
+    (its only visibility is log timestamps, SURVEY.md §5.1)."""
+    import time as _time
+    timings: Dict[str, float] = {}
+    _t0 = _time.perf_counter()
     output_dir = output_dir or create_output_dir(cfg.output_dir)
 
     if cfg.warm_start_dir:
@@ -130,9 +138,11 @@ def run_pipeline(cfg: PipelineConfig, output_dir: Optional[str] = None,
         gene_cov_dict, read_count_df, genes_df, exon_df, sample_ids = (
             _cold_start(cfg, output_dir, write_outputs=write_outputs,
                         mesh=mesh))
+    timings["etl"] = _time.perf_counter() - _t0
 
     # ---- gene filters before NMF (reference __main__.py:221-238, plus the
     # MPI-only caps __main_mpi__.py:374-376, unified per SURVEY.md §7.2) ----
+    _t0 = _time.perf_counter()
     drop = []
     for gene, F in gene_cov_dict.items():
         too_low = F.max() < cfg.minimax_coverage
@@ -152,18 +162,24 @@ def run_pipeline(cfg: PipelineConfig, output_dir: Optional[str] = None,
 
     log.info("DegNorm will run on %d genes across %d samples.",
              len(gene_cov_dict), len(sample_ids))
+    timings["filters"] = _time.perf_counter() - _t0
 
     # ---- the device loop ----
+    _t0 = _time.perf_counter()
     engine = DegNormEngine(cfg.nmf, cfg.engine, mesh=mesh)
     counts = read_count_df[sample_ids].values.astype(np.float64)
     # checkpoint_dir goes to every process (all resume from the shared
     # file); saving is coordinator-gated inside save_checkpoint
     result = engine.run(gene_cov_dict, counts, checkpoint_dir=output_dir)
+    timings["fit"] = _time.perf_counter() - _t0
+    timings.update({f"fit.{k}": v for k, v in engine.timings.items()})
 
     # materialize estimates on EVERY process: on a multi-process mesh this
     # is an allgather collective, so workers must participate before the
     # coordinator-only output writing below (skipping it deadlocks both)
+    _t0 = _time.perf_counter()
     estimates = OrderedDict(zip(result.genes, result.estimates()))
+    timings["estimates"] = _time.perf_counter() - _t0
 
     if not write_outputs:
         # multihost worker: plotting is scattered across processes (the
@@ -176,19 +192,25 @@ def run_pipeline(cfg: PipelineConfig, output_dir: Optional[str] = None,
             _plot_gene_shard(cfg.plot_genes, result.genes, output_dir)
         return {"result": result, "genes_df": genes_df,
                 "read_count_df": read_count_df, "sample_ids": sample_ids,
-                "output_dir": output_dir, "exon_df": exon_df}
+                "output_dir": output_dir, "exon_df": exon_df,
+                "timings": timings}
 
     # ---- outputs (reference nmf.py:603-711 contract) ----
+    _t0 = _time.perf_counter()
     gene_chrom = dict(zip(genes_df.gene, genes_df.chr))
     outputs.save_results(
         output_dir, result.genes, gene_chrom, result.rho, result.x_adj,
         result.ran_baseline_selection, estimates, sample_ids)
+    timings["save"] = _time.perf_counter() - _t0
 
     if cfg.plot_genes:
+        _t0 = _time.perf_counter()
         from degnorm_tpu.parallel.distributed import barrier
         barrier("degnorm-outputs-written")
         _plot_gene_shard(cfg.plot_genes, result.genes, output_dir)
+        timings["plots"] = _time.perf_counter() - _t0
 
+    _t0 = _time.perf_counter()
     try:
         from degnorm_tpu.report.report import render_report
         render_report(
@@ -202,10 +224,14 @@ def run_pipeline(cfg: PipelineConfig, output_dir: Optional[str] = None,
             sample_ids=sample_ids, top_n_genes=5, output_dir=output_dir)
     except Exception as e:
         log.warning("report rendering failed: %s", e)
+    timings["report"] = _time.perf_counter() - _t0
+    log.info("pipeline phase timings (s): %s",
+             {k: round(v, 2) for k, v in timings.items()})
 
     return {"result": result, "genes_df": genes_df,
             "read_count_df": read_count_df, "sample_ids": sample_ids,
-            "output_dir": output_dir, "exon_df": exon_df}
+            "output_dir": output_dir, "exon_df": exon_df,
+            "timings": timings}
 
 
 def _cold_start(cfg: PipelineConfig, output_dir: str,

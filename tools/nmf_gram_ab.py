@@ -47,6 +47,10 @@ def run(mode, wp=0):
 COMBOS = [("vpu", 0), ("mxu", 0), ("mxu_bf16", 0), ("packed_slice", 0),
           ("mxu_bf16", 4), ("packed_slice", 4), ("packed_slice", 8),
           ("packed_slice", 2)]
+# argv override: `python tools/nmf_gram_ab.py packed_slice:2 packed_bigv:2`
+if len(sys.argv) > 1:
+    COMBOS = [(a.split(":")[0], int(a.split(":")[1]) if ":" in a else 0)
+              for a in sys.argv[1:]]
 ref = None
 for mode, wp in COMBOS:
     try:
