@@ -134,14 +134,17 @@ class EngineConfig:
     # squared-operator scheme (normalize + square the Gram, then
     # power_iters_warm/4 doubled steps) with this many plain matvecs —
     # the warm u is already near the Perron vector, so very few plain
-    # steps suffice.  Default 2: engine-level A/B vs 4 (tools/r2_warm_ab.py,
-    # 4096-gene bench workload) measured DI drift mean 3.2e-5 / max 1.6e-2
-    # at one borderline gene with ZERO baseline-selection decision flips —
-    # the same precision class as power_iters_resume — while the
-    # trim-kernel scan (tools/r2_trim_scan.py) attributes ~7-9% of the
-    # dense-workload trim cost to the extra matvecs.
+    # steps suffice.  Default 1 (round 4; was 2 in rounds 2-3, 0 before):
+    # each step of the wp ladder was engine-level A/B drift-gated on the
+    # 4096-gene bench workload (tools/r2_warm_ab.py) with ZERO baseline-
+    # selection decision flips — wp2 vs wp4: DI drift mean 3.2e-5 / max
+    # 1.6e-2; wp1 vs wp2: mean 4.6e-5 / max 2.4e-2 (the same
+    # power_iters_resume precision class) — while the kernel A/B
+    # (tools/nmf_gram_ab.py) measured 9.2 -> 8.4 ms/call for wp2 -> wp1
+    # at the production shape (~9%: one fewer serial matvec on the
+    # issue-bound chain).
     # 0 = squared scheme (the cold-start path always uses it).
-    power_warm_plain: int = 2
+    power_warm_plain: int = 1
     # OPT-IN adaptive convergence for the NMF-OA Lagrangian loop (0.0 =
     # off, the reference semantics: always exactly nmf_iter iterations).
     # With nmf_tol > 0, a gene FREEZES its (X, K, E, u) state once its K

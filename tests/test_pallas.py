@@ -231,14 +231,19 @@ def test_fused_trim_matches_xla(gram_mode):
                                   np.asarray(r_fused.rounds_active))
     np.testing.assert_array_equal(np.asarray(r_xla.est_kind),
                                   np.asarray(r_fused.est_kind))
+    # numeric gates at the wp1-default convergence class: with a single
+    # plain warm matvec (power_warm_plain=1, round 4) the twins' Gram
+    # op-order differences get less contraction per iteration, so rho
+    # parity sits at ~2e-4 instead of wp2's ~1e-4 (decisions above remain
+    # bitwise-equal — the gate that matters)
     np.testing.assert_allclose(np.asarray(r_fused.rho),
-                               np.asarray(r_xla.rho), rtol=1e-4, atol=1e-5)
+                               np.asarray(r_xla.rho), rtol=5e-4, atol=5e-5)
     np.testing.assert_allclose(np.asarray(r_fused.est_K),
                                np.asarray(r_xla.est_K),
-                               rtol=1e-4, atol=1e-4)
+                               rtol=5e-4, atol=5e-4)
     np.testing.assert_allclose(np.asarray(r_fused.est_E),
                                np.asarray(r_xla.est_E),
-                               rtol=1e-4, atol=1e-4)
+                               rtol=5e-4, atol=5e-4)
 
 
 def test_resume_power_iters_drift():
