@@ -62,33 +62,32 @@ def chromosome_coverage_native(
                 gene_group[gene_idx[g]] = gi
 
     # per-gene exon arrays in the reference's quirky convention
-    # (sorted starts 0-indexed; sorted ends left 1-indexed).  One groupby
-    # pass — the former per-gene boolean-filter scan was O(genes x exons)
-    # and dominated the wrapper at real annotation sizes.  tx_positions
-    # (exon-union coordinates) are only consumed for overlap-group genes
-    # below, so isolated genes skip their arange/unique entirely.
+    # (sorted starts 0-indexed; sorted ends left 1-indexed).  Pure numpy:
+    # one gene-code factorization + two lexsorts build every gene's
+    # sorted segment in one shot — the previous pandas groupby
+    # materialized 20k sub-DataFrames (~1.6 s of a 12.8 s single-sample
+    # ETL at real annotation scale).  tx_positions (exon-union
+    # coordinates) are only consumed for overlap-group genes below, so
+    # isolated genes skip their arange/unique entirely.
     _empty = np.empty(0, np.int64)
-    by_gene = {g: (sub.start.values.astype(np.int64),
-                   sub.end.values.astype(np.int64))
-               for g, sub in chrom_exon_df.groupby("gene", sort=False)}
-    ex_starts, ex_ends, ex_off = [], [], [0]
-    tx_positions = [None] * n_genes
-    for i, g in enumerate(genes):
-        s, e = by_gene.get(g, (_empty, _empty))
-        s0 = np.sort(s) - 1
-        e1 = np.sort(e)
-        ex_starts.append(s0)
-        ex_ends.append(e1)
-        ex_off.append(ex_off[-1] + len(s0))
-        if gene_group[i] >= 0:
-            tx_positions[i] = np.unique(np.concatenate(
-                [np.arange(a, b) for a, b in zip(s0, e1)])) if len(s0) \
-                else _empty
+    code_col = chrom_exon_df.gene.map(gene_idx)
+    valid = code_col.notna().values
+    codes = code_col.values[valid].astype(np.int64)
+    e_starts = chrom_exon_df.start.values[valid].astype(np.int64)
+    e_ends = chrom_exon_df.end.values[valid].astype(np.int64)
+    counts = np.bincount(codes, minlength=n_genes)
+    exon_offsets = np.concatenate(
+        [np.zeros(1, np.int64), np.cumsum(counts, dtype=np.int64)])
     exon_starts0 = np.ascontiguousarray(
-        np.concatenate(ex_starts) if ex_starts else np.empty(0, np.int64))
-    exon_ends1 = np.ascontiguousarray(
-        np.concatenate(ex_ends) if ex_ends else np.empty(0, np.int64))
-    exon_offsets = np.asarray(ex_off, np.int64)
+        e_starts[np.lexsort((e_starts, codes))] - 1)
+    exon_ends1 = np.ascontiguousarray(e_ends[np.lexsort((e_ends, codes))])
+    tx_positions = [None] * n_genes
+    for i in np.flatnonzero(gene_group >= 0):
+        s0 = exon_starts0[exon_offsets[i]:exon_offsets[i + 1]]
+        e1 = exon_ends1[exon_offsets[i]:exon_offsets[i + 1]]
+        tx_positions[i] = np.unique(np.concatenate(
+            [np.arange(a, b) for a, b in zip(s0, e1)])) if len(s0) \
+            else _empty
 
     union_starts0 = np.ascontiguousarray(
         chrom_exon_df.start.values.astype(np.int64) - 1)

@@ -603,6 +603,15 @@ def pick_block_genes(G: int, p: int, W: int, dtype_bytes: int = 4,
     if lam_bf16:
         per_gene -= p * W * dtype_bytes // 2
     bg = (int(_VMEM_BUDGET * vmem_frac) // per_gene) // 8 * 8
+    # Compile-complexity cap: the packed-Gram path unrolls O(bg) slice
+    # extractions per rank-1 call site, and narrow buckets (W=256/512)
+    # would otherwise get bg ~ 200+ — observed to crash the TPU compile
+    # service deterministically (whole-pipeline runs at 20k real genes;
+    # the halved-block retry at bg~112 compiled fine) and to take
+    # minutes-long compiles even when it survives.  64 is the bench
+    # shapes' class; beyond it larger blocks buy no throughput (the grid
+    # just has fewer, bigger steps).
+    bg = min(bg, 64)
     return int(max(8, min(bg, ((G + 7) // 8) * 8)))
 
 

@@ -236,6 +236,9 @@ def pick_block_genes_trim(G: int, p: int, W: int, dtype_bytes: int = 4,
     if lam_bf16:
         per_gene -= p * W * dtype_bytes // 2
     bg = (int(_VMEM_BUDGET * vmem_frac) // per_gene) // 8 * 8
+    # compile-complexity cap — see pick_block_genes in pallas_nmf.py
+    # (narrow-bucket blocks of 200+ genes crash/stall the compile service)
+    bg = min(bg, 64)
     return int(max(8, min(bg, ((G + 7) // 8) * 8)))
 
 
