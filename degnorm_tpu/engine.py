@@ -288,9 +288,14 @@ def _enable_persistent_compile_cache() -> None:
     /tmp/degnorm_jax_cache) unless the user already configured one.  The
     fused kernels compile in minutes cold but ~5 s warm; without this,
     every fresh CLI process repaid the full compile (only bench.py set
-    the cache before round 4)."""
+    the cache before round 4).  CPU backends are excluded: XLA:CPU AOT
+    cache entries embed machine features and reloading them across
+    hosts/flag sets warns of potential SIGILL — and CPU compiles are
+    fast anyway (this path is for the remote TPU toolchain)."""
     import os
     try:
+        if jax.default_backend() == "cpu":
+            return
         if jax.config.jax_compilation_cache_dir is None:
             jax.config.update(
                 "jax_compilation_cache_dir",
