@@ -26,7 +26,6 @@ import numpy as np
 import pandas as pd
 
 from degnorm_tpu.io.coverage import ChromCoverage
-from degnorm_tpu.io.gtf import exon_union_positions
 
 
 def merge_read_counts(
@@ -68,6 +67,22 @@ def merge_coverage(
         cdf = exon_df[exon_df.chr == chrom]
         per_sample = [results[sid].get(chrom) for sid in sample_ids]
 
+        # per-gene exon segments in one factorize pass: the former
+        # per-gene `cdf[cdf.gene == gene]` boolean filter was
+        # O(genes x exons) per chromosome and dominated the merge at
+        # real annotation scale (25.8 s for 2 samples x 20k genes)
+        codes, uniq = pd.factorize(cdf.gene)
+        c_starts = cdf.start.values.astype(np.int64)
+        c_ends = cdf.end.values.astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        counts = np.bincount(codes, minlength=len(uniq))
+        offs = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(counts, dtype=np.int64)])
+        s_sorted, e_sorted = c_starts[order], c_ends[order]
+        seg = {g: (s_sorted[offs[i]:offs[i + 1]],
+                   e_sorted[offs[i]:offs[i + 1]])
+               for i, g in enumerate(uniq)}
+
         # ---- isolated genes: slice chromosome vectors at exon unions ----
         any_iso = any(cc is not None and cc.isolated_coverage is not None
                       for cc in per_sample)
@@ -83,7 +98,9 @@ def merge_coverage(
             for gene in iso_genes_order:
                 if gene in overlap_genes_present:
                     continue
-                tx = exon_union_positions(cdf[cdf.gene == gene])
+                s, e = seg[gene]
+                tx = np.unique(np.concatenate(
+                    [np.arange(a - 1, b) for a, b in zip(s, e)]))
                 rows = []
                 for cc in per_sample:
                     if cc is None or cc.isolated_coverage is None:
