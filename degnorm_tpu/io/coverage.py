@@ -138,8 +138,13 @@ def check_compat_match_regions(cols: ReadColumns) -> None:
     reference's ETL).  Called by both the numpy and native compat paths
     BEFORE unit building, which indexes each read's first/last segment and
     must never see a zero-segment read."""
-    match = (cols.cigar_ops == 0).astype(np.int64)
-    cs = np.concatenate([[0], np.cumsum(match)])
+    # int32 cumsum directly over the boolean mask: the former
+    # int64-astype + default cumsum + concatenate chain moved ~3x the
+    # bytes and was 11 s of a 42 s single-thread ETL at 20M reads
+    match = cols.cigar_ops == 0
+    cs = np.empty(len(match) + 1, np.int32)
+    cs[0] = 0
+    np.cumsum(match, dtype=np.int32, out=cs[1:])
     per_read = cs[cols.cigar_offsets[1:]] - cs[cols.cigar_offsets[:-1]]
     bad = np.flatnonzero(per_read == 0)
     if len(bad):

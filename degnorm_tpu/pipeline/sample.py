@@ -177,13 +177,23 @@ class BamSampleProcessor:
                 self._save_artifacts(cc)
             return chrom, cc
 
-        if n_jobs > 1 and len(self.chroms) > 1:
-            with ThreadPoolExecutor(max_workers=n_jobs) as ex:
-                for chrom, cc in ex.map(work, self.chroms):
-                    results[chrom] = cc
-        else:
-            for chrom in self.chroms:
-                _, results[chrom] = work(chrom)
+        try:
+            if n_jobs > 1 and len(self.chroms) > 1:
+                with ThreadPoolExecutor(max_workers=n_jobs) as ex:
+                    for chrom, cc in ex.map(work, self.chroms):
+                        results[chrom] = cc
+            else:
+                for chrom in self.chroms:
+                    _, results[chrom] = work(chrom)
+        finally:
+            # The per-tid column cache exists so every chromosome of THIS
+            # pass shares one whole-file decode; holding it beyond the
+            # pass pinned each sample's full column set (~1.6 GB at 20M
+            # reads) on the long-lived processor for the rest of the run
+            # — measured to degrade later samples' ETL ~2x through memory
+            # pressure (single-chrom files cache the original native
+            # buffers via the all-True subset fast path).
+            self._cols_by_tid = {}
         return results
 
     # -- reference-layout per-(sample,chrom) artifacts -------------------

@@ -29,6 +29,13 @@ N_READS = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
 
 _WORKER = r"""
 import os, sys, time, json
+# pin this emulated "node" to its disjoint CPU set: the native BGZF
+# reader threads internally, so without pinning a single process already
+# saturates the whole host and 2-process runs measure core contention,
+# not node scaling
+cpus = os.environ.get("DEGNORM_AFFINITY")
+if cpus:
+    os.sched_setaffinity(0, {{int(c) for c in cpus.split(",")}})
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 sys.path.insert(0, {repo!r})
@@ -55,36 +62,59 @@ def main():
     import numpy as np
     from degnorm_tpu.io.simulate import make_genes, write_gtf, write_sample_bam
 
-    d = tempfile.mkdtemp(prefix="etl_scaling_")
-    rng = np.random.default_rng(11)
-    genes = make_genes(rng, n_genes=200, overlap_fraction=0.1)
-    gtf = os.path.join(d, "sim.gtf")
-    write_gtf(gtf, genes)
-    chrom_len = max(e for g in genes for _, e in g.exons) + 10_000
-    bams = []
-    t0 = time.time()
-    for i in range(N_SAMPLES):
-        b = os.path.join(d, f"s{i}.bam")
-        write_sample_bam(b, genes, chrom_len, seed=500 + i,
-                         mean_reads_per_gene=N_READS // len(genes),
-                         degradation=0.3 * (i % 3))
-        bams.append(b)
-    print(f"[synth] {N_SAMPLES} x {N_READS} reads: {time.time()-t0:.1f}s",
-          file=sys.stderr)
+    # ETL_SCALING_DIR: reuse an existing generated dataset (the 20M-read
+    # config takes ~28 min to synthesize)
+    d = os.environ.get("ETL_SCALING_DIR") or ""
+    if d and all(os.path.isfile(os.path.join(d, f"s{i}.bam"))
+                 for i in range(N_SAMPLES)):
+        gtf = os.path.join(d, "sim.gtf")
+        bams = [os.path.join(d, f"s{i}.bam") for i in range(N_SAMPLES)]
+        print(f"[synth] reusing {d}", file=sys.stderr)
+        # fresh output dirs inside the cached dataset dir
+        import shutil
+        for sub in ("solo", "mh"):
+            shutil.rmtree(os.path.join(d, sub), ignore_errors=True)
+    else:
+        d = tempfile.mkdtemp(prefix="etl_scaling_")
+        rng = np.random.default_rng(11)
+        genes = make_genes(rng, n_genes=200, overlap_fraction=0.1)
+        gtf = os.path.join(d, "sim.gtf")
+        write_gtf(gtf, genes)
+        chrom_len = max(e for g in genes for _, e in g.exons) + 10_000
+        bams = []
+        t0 = time.time()
+        for i in range(N_SAMPLES):
+            b = os.path.join(d, f"s{i}.bam")
+            write_sample_bam(b, genes, chrom_len, seed=500 + i,
+                             mean_reads_per_gene=N_READS // len(genes),
+                             degradation=0.3 * (i % 3))
+            bams.append(b)
+        print(f"[synth] {N_SAMPLES} x {N_READS} reads: {time.time()-t0:.1f}s",
+              file=sys.stderr)
 
-    # --- single process, single thread (the per-node unit of work) ---
+    # Emulated node = half this host's cores, pinned (the native reader
+    # threads internally; without pinning one process saturates the host
+    # and "2 nodes" would just measure core contention).
+    n_cpu = os.cpu_count() or 4
+    half = max(1, n_cpu // 2)
+    node0 = ",".join(str(c) for c in range(half))
+    node1 = ",".join(str(c) for c in range(half, 2 * half))
+
+    # --- single process on ONE emulated node ---
     from degnorm_tpu.config import PipelineConfig
     from degnorm_tpu.pipeline.run import _cold_start
     solo_out = os.path.join(d, "solo")
     os.makedirs(solo_out)
+    os.sched_setaffinity(0, {int(c) for c in node0.split(",")})
     cfg = PipelineConfig(bam_files=tuple(bams), bai_files=(),
                          genome_annotation=gtf, output_dir=solo_out, n_jobs=1)
     t0 = time.time()
     _cold_start(cfg, solo_out)
     solo_s = time.time() - t0
-    print(f"[solo] 1 process, 1 thread: {solo_s:.2f}s", file=sys.stderr)
+    os.sched_setaffinity(0, range(n_cpu))
+    print(f"[solo] 1 node ({half} cores): {solo_s:.2f}s", file=sys.stderr)
 
-    # --- two processes, one thread each ---
+    # --- two processes, one emulated node each ---
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     mh_out = os.path.join(d, "mh")
     script = os.path.join(d, "worker.py")
@@ -93,8 +123,9 @@ def main():
     env = dict(os.environ, DEGNORM_TPU_COORDINATOR="localhost:19881",
                DEGNORM_TPU_NUM_PROCESSES="2")
     procs = []
-    for pid in range(2):
-        e = dict(env, DEGNORM_TPU_PROCESS_ID=str(pid))
+    for pid, aff in ((0, node0), (1, node1)):
+        e = dict(env, DEGNORM_TPU_PROCESS_ID=str(pid),
+                 DEGNORM_AFFINITY=aff)
         procs.append(subprocess.Popen([sys.executable, script], env=e,
                                       stdout=subprocess.PIPE,
                                       stderr=subprocess.STDOUT, text=True))
