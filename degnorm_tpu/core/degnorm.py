@@ -167,9 +167,12 @@ def df_init_math(cov_sums, est_sums, x):
     est = dfm.lift(est_sums)
     rho = dfm.sub(dfm.const(1.0, cov_sums),
                   dfm.div(cov, dfm.add(est, dfm.const(1.0, est_sums))))
-    # low-DI gene set: max_p rho < 0.1 in true df order (nmf.py:529-531)
+    # low-DI gene set: max_p rho < 0.1 in true df order (nmf.py:529-531).
+    # 0.1 is not f32-representable (f32(0.1) is 1.5e-9 HIGH), so the
+    # threshold is its df split, like the 0.9 clip in df_iteration_math.
+    hi01, lo01 = dfm.from_f64_np(np.float64(0.1))
     rmax = dfm.dmax(rho, axis=1)                # (n,)
-    low_di = (rmax.hi < 0.1) | ((rmax.hi == 0.1) & (rmax.lo < 0))
+    low_di = (rmax.hi < hi01) | ((rmax.hi == hi01) & (rmax.lo < lo01))
     any_low = jnp.any(low_di)
     zeros = dfm.DF(jnp.zeros_like(x.hi), jnp.zeros_like(x.lo))
     masked = dfm.where(low_di[:, None], x, zeros)
