@@ -201,9 +201,14 @@ class EngineConfig:
     # this directory (viewable with TensorBoard / xprof). The reference has
     # no tracing at all (SURVEY.md §5.1).
     profile_dir: Optional[str] = None
-    # Keep the outer-loop global updates on device (jnp twins of
-    # core/degnorm.py). None = auto: enabled when the mesh spans multiple
-    # processes (per-bucket results are then not host-materializable).
+    # Outer-loop location. None (default, since round 4) = the device-
+    # resident loop: all global updates on device (jnp/df twins of
+    # core/degnorm.py), zero per-iteration host syncs — the fastest
+    # measured configuration, f64-grade via outer_df.  False = the host
+    # float64 loop (the original parity reference) — except on multi-
+    # process meshes, where the device loop is mandatory (per-bucket
+    # results cannot be host-materialized) and False is overridden.
+    # True = device loop explicitly.
     device_loop: Optional[bool] = None
     # Run the device loop's outer updates in two-float32 compensated
     # arithmetic (core/dfloat.py, ~49 significand bits — measured max rel

@@ -508,12 +508,14 @@ class DegNormEngine:
 
         ``reuse_device_data``: opt-in refit on the previous ``run``'s
         device-resident buckets — the packer and host->device upload are
-        skipped entirely.  The CALLER asserts the coverage mapping is
-        unchanged (only its values' identity is sanity-checked); gene
-        order inside buckets may differ from a fresh pack (the previous
-        run's presort persists), which is result-invariant (results
-        scatter through gene_indices).  Used by steady-state benchmarking
-        and repeated fits over one dataset.
+        skipped entirely.  The CALLER asserts the coverage CONTENTS are
+        unchanged; a cheap fingerprint (mapping identity + gene count +
+        first/last matrix identity) guards against accidentally passing a
+        different dataset, but changed values inside the same arrays are
+        not detected.  Gene order inside buckets may differ from a fresh
+        pack (the previous run's presort persists), which is
+        result-invariant (results scatter through gene_indices).  Used by
+        steady-state benchmarking and repeated fits over one dataset.
 
         If a Pallas kernel fails to compile on an unforeseen shape
         (Mosaic/scoped-VMEM errors), the fit is retried — first once with
@@ -521,6 +523,10 @@ class DegNormEngine:
         VMEM model is probed per compile environment and the environment
         can drift between sessions), then on the plain XLA path."""
         import dataclasses as _dc
+        # each run() gets one same-config retry for transient compile-
+        # service failures (see below) — the budget must not be consumed
+        # by an earlier fit on a long-lived engine
+        self._transient_retried = False
         while True:
             try:
                 return self._run(cov_dat, reads_dat, checkpoint_dir,
@@ -543,8 +549,7 @@ class DegNormEngine:
                         and self.eng_cfg.use_pallas):
                     raise
                 import logging
-                if transient and not getattr(self, "_transient_retried",
-                                             False):
+                if transient and not self._transient_retried:
                     self._transient_retried = True
                     logging.getLogger("degnorm_tpu").warning(
                         "compile service failed transiently (%s...); "
@@ -591,12 +596,15 @@ class DegNormEngine:
 
         t0 = _time.perf_counter()
         self.timings = {}
+        fingerprint = (id(cov_dat), n,
+                       id(cov_mats[0]) if cov_mats else 0,
+                       id(cov_mats[-1]) if cov_mats else 0)
         reuse = (reuse_device_data and self._buckets
-                 and getattr(self, "_packed_n", None) == n
+                 and getattr(self, "_packed_fp", None) == fingerprint
                  and len(self._device_F) == len(self._buckets))
         if not reuse:
             self._pack(cov_mats)
-            self._packed_n = n
+            self._packed_fp = fingerprint
         dtype = jnp.dtype(self.eng_cfg.dtype)
         self.timings["pack"] = _time.perf_counter() - t0
 

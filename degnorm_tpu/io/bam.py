@@ -135,16 +135,18 @@ def _parse_aux_nh(buf: bytes, off: int, end: int) -> int:
     return 0
 
 
-def read_header(path: str) -> BamHeader:
+def read_header(path: str, *, _initial_prefix: int = 1 << 20) -> BamHeader:
     """Parse the BAM header inflating only as many BGZF blocks as it
     spans (it lives at the file start; the previous implementation
     decompressed the WHOLE file through the Python BGZF path — 3.3 s of
     a 90 MB file per header access, pure waste at whole-pipeline scale).
     Reads the compressed file in growing prefixes so huge headers (many
-    reference sequences) still parse."""
+    reference sequences) still parse.  ``_initial_prefix`` exists for
+    tests to force the truncated-block growth path on small files."""
     import os as _os
+    import zlib as _zlib
     fsize = _os.path.getsize(path)
-    size = 1 << 20
+    size = max(64, int(_initial_prefix))
     while True:
         with open(path, "rb") as f:
             raw = f.read(size)
@@ -158,8 +160,10 @@ def read_header(path: str) -> BamHeader:
                     return _parse_header(buf)[0]
                 except (struct.error, IndexError):
                     continue        # header spans further blocks
-        except ValueError:
-            pass                    # truncated final block at this prefix
+        except (ValueError, _zlib.error, struct.error, IndexError):
+            # truncated final block at this prefix (zlib raises its own
+            # error class when the cut lands mid-payload) — grow and retry
+            pass
         if size >= fsize:
             # whole file inflated and still unparsable: surface the real
             # parse error on the complete buffer

@@ -69,7 +69,6 @@ def chromosome_coverage_native(
     # ETL at real annotation scale).  tx_positions (exon-union
     # coordinates) are only consumed for overlap-group genes below, so
     # isolated genes skip their arange/unique entirely.
-    _empty = np.empty(0, np.int64)
     code_col = chrom_exon_df.gene.map(gene_idx)
     valid = code_col.notna().values
     codes = code_col.values[valid].astype(np.int64)
@@ -81,13 +80,12 @@ def chromosome_coverage_native(
     exon_starts0 = np.ascontiguousarray(
         e_starts[np.lexsort((e_starts, codes))] - 1)
     exon_ends1 = np.ascontiguousarray(e_ends[np.lexsort((e_ends, codes))])
+    from degnorm_tpu.io.gtf import exon_union_from_arrays
     tx_positions = [None] * n_genes
     for i in np.flatnonzero(gene_group >= 0):
         s0 = exon_starts0[exon_offsets[i]:exon_offsets[i + 1]]
         e1 = exon_ends1[exon_offsets[i]:exon_offsets[i + 1]]
-        tx_positions[i] = np.unique(np.concatenate(
-            [np.arange(a, b) for a, b in zip(s0, e1)])) if len(s0) \
-            else _empty
+        tx_positions[i] = exon_union_from_arrays(s0 + 1, e1)
 
     union_starts0 = np.ascontiguousarray(
         chrom_exon_df.start.values.astype(np.int64) - 1)

@@ -97,10 +97,20 @@ def process_annotation(gtf_file: str,
     return exon_df.reset_index(drop=True)
 
 
-def exon_union_positions(exon_df_gene: pd.DataFrame) -> np.ndarray:
-    """0-indexed sorted unique base positions of a gene's exon union — the
-    coverage-matrix column space (reference reads.py:575-577).  Input rows
-    are that gene's exons (1-indexed inclusive [start, end])."""
-    pos = [np.arange(s - 1, e) for s, e in
-           zip(exon_df_gene.start.values, exon_df_gene.end.values)]
+def exon_union_from_arrays(starts1, ends1) -> np.ndarray:
+    """0-indexed sorted unique base positions of one gene's exon union —
+    the coverage-matrix column space (reference reads.py:575-577), from
+    1-indexed inclusive [start, end] arrays.  The single home of this
+    load-bearing convention (io/merge.py and io/coverage_native.py build
+    the same arrays from factorized annotation passes)."""
+    if len(starts1) == 0:
+        return np.empty(0, np.int64)
+    pos = [np.arange(s - 1, e) for s, e in zip(starts1, ends1)]
     return np.unique(np.concatenate(pos))
+
+
+def exon_union_positions(exon_df_gene: pd.DataFrame) -> np.ndarray:
+    """DataFrame form of ``exon_union_from_arrays`` (rows = one gene's
+    exons)."""
+    return exon_union_from_arrays(exon_df_gene.start.values,
+                                  exon_df_gene.end.values)

@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 
 from degnorm_tpu.io.coverage import ChromCoverage
+from degnorm_tpu.io.gtf import exon_union_from_arrays
 
 
 def merge_read_counts(
@@ -99,8 +100,7 @@ def merge_coverage(
                 if gene in overlap_genes_present:
                     continue
                 s, e = seg[gene]
-                tx = np.unique(np.concatenate(
-                    [np.arange(a - 1, b) for a, b in zip(s, e)]))
+                tx = exon_union_from_arrays(s, e)
                 rows = []
                 for cc in per_sample:
                     if cc is None or cc.isolated_coverage is None:

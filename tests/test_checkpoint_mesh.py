@@ -9,8 +9,13 @@ from tests.test_engine import make_dataset
 
 
 CFG = NMFConfig(nmf_iter=6, degnorm_iter=3)
+# device_loop=False: since round 4 the None default resolves to the
+# device-resident loop, so the HOST float64 loop (the original parity
+# reference and one side of every host-vs-device comparison below) must
+# be requested explicitly or these tests compare the device loop against
+# itself.
 ENG = EngineConfig(rank1_method="power", dtype="float64",
-                   bucket_widths=(256, 512, 1024))
+                   bucket_widths=(256, 512, 1024), device_loop=False)
 
 
 def test_checkpoint_resume_matches_uninterrupted(tmp_path):
@@ -115,7 +120,8 @@ def test_device_loop_df_matches_host_loop_f32():
     selection decisions and adjusted counts well inside the 5e-3 class
     (round 3's plain-f32 device loop drifted to 4e-2)."""
     f32_host = EngineConfig(rank1_method="power", dtype="float32",
-                            bucket_widths=(256, 512, 1024))
+                            bucket_widths=(256, 512, 1024),
+                            device_loop=False)
     f32_dev = EngineConfig(rank1_method="power", dtype="float32",
                            bucket_widths=(256, 512, 1024),
                            device_loop=True)

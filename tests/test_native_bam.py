@@ -108,3 +108,21 @@ def test_lazy_qnames_container_contract():
     b = np.array(lq)            # numpy>=2: copy=True by default
     b[1] = "mutated"
     assert np.asarray(lq)[1] == "r2"
+
+
+def test_read_header_growing_prefix(tmp_path):
+    """read_header must survive prefixes that truncate a BGZF block
+    mid-payload (zlib.error, not ValueError) and grow until the header
+    parses — the code-review-reproduced crash for headers spanning past
+    the initial prefix."""
+    from degnorm_tpu.io import bam as bamio
+    path = str(tmp_path / "hdr.bam")
+    names = [f"chr{i}" for i in range(200)]
+    bamio.write_bam(path, names, [1000] * len(names),
+                    [(f"q{i}", i % len(names), 5, 0, "10M", -1)
+                     for i in range(50)])
+    full = bamio.read_header(path)
+    for prefix in (64, 100, 4096):
+        h = bamio.read_header(path, _initial_prefix=prefix)
+        assert h.ref_names == full.ref_names
+        assert h.ref_lengths == full.ref_lengths

@@ -67,8 +67,11 @@ def main():
     assert np.isfinite(res_pl.rho).all() and res_pl.ran_baseline_selection.any()
     print(f"[smoke] pallas-interpret fit ok  ({time.time() - t0:.1f}s)")
 
-    # 2. XLA path + cross-check
-    eng_x = DegNormEngine(nmf_cfg, EngineConfig(use_pallas=False))
+    # 2. XLA path + HOST f64 outer loop (device_loop=False: the None
+    #    default resolves to the device loop since round 4, and step 4's
+    #    cross-check needs the host loop actually exercised)
+    eng_x = DegNormEngine(nmf_cfg, EngineConfig(use_pallas=False,
+                                                device_loop=False))
     res_x = eng_x.run(cov, counts)
     np.testing.assert_allclose(res_pl.rho, res_x.rho, rtol=5e-3, atol=5e-4)
     np.testing.assert_array_equal(res_pl.ran_baseline_selection,
