@@ -34,7 +34,7 @@ N_GENES = int(os.environ.get("BENCH_GENES", 20480))
 P_SAMPLES = int(os.environ.get("BENCH_SAMPLES", 8))
 NMF_ITER = int(os.environ.get("BENCH_NMF_ITER", 50))
 DEGNORM_ITER = int(os.environ.get("BENCH_DEGNORM_ITER", 5))
-REF_GENES = int(os.environ.get("BENCH_REF_GENES", 12))
+REF_GENES = int(os.environ.get("BENCH_REF_GENES", 24))
 # The timed window includes one host->device upload whose relay bandwidth
 # fluctuates several-fold between runs; best-of-N isolates engine speed
 # from relay luck (each repeat still pays pack+upload+init+iterations).
@@ -127,7 +127,8 @@ def main():
     import jax
     # persistent compilation cache: the big fused kernels compile slowly
     # (especially through remote-compile tunnels); cache across runs.
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/degnorm_jax_cache")
+    from degnorm_tpu.engine import default_cache_dir
+    cache_dir = default_cache_dir()
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -193,6 +194,21 @@ def main():
             dt, timings = dt_r, dict(engine.timings)
     ours = N_GENES * DEGNORM_ITER / dt
 
+    # One dedicated COLD repeat (fresh engine: pack + upload + init inside
+    # the wall; kernels already compiled) so every BENCH_r*.json carries
+    # BOTH windows and cold-vs-steady stays comparable across rounds
+    # without a manual BENCH_COLD run.  With BENCH_COLD=1 the timed loop
+    # above is already cold and this would duplicate it.
+    if not cold:
+        t0 = time.perf_counter()
+        DegNormEngine(nmf_cfg, eng_cfg).run(cov, X)
+        cold_wall = time.perf_counter() - t0
+        print(f"[bench] cold run (fresh engine): {cold_wall:.1f}s",
+              file=sys.stderr, flush=True)
+    else:
+        cold_wall = dt
+    ours_cold = N_GENES * DEGNORM_ITER / cold_wall
+
     try:
         ref = time_reference(cov, X, REF_GENES)
     except Exception as e:
@@ -207,7 +223,14 @@ def main():
                 f"wall {dt:.1f}s best-of-{max(REPEATS, 1)} "
                 + ("incl. pack+upload"
                    if cold else "steady-state device-resident fit") + ")",
+        # ratio windows: vs_baseline divides the steady-state rate by the
+        # reference's (necessarily cold, per-run) CPU rate;
+        # vs_baseline_cold uses OUR cold window too — apples-to-apples
+        # with the reference's own run shape (ADVICE r4).
         "vs_baseline": round(ours / ref, 2) if ref else None,
+        "cold_wall_s": round(cold_wall, 1),
+        "value_cold": round(ours_cold, 2),
+        "vs_baseline_cold": round(ours_cold / ref, 2) if ref else None,
         # one-time dataset costs, outside the steady window (relay-health
         # dependent here; milliseconds on PCIe-attached production hosts).
         # upload completion overlaps the warmup's init, so warmup_wall_s

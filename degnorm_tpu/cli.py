@@ -73,6 +73,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "tolerance (0 = reference behavior, always nmf-iter "
                         "iterations; documented opt-in deviation — see "
                         "PARITY.md)")
+    p.add_argument("--ds-compat", default="keyed",
+                   choices=["keyed", "reference"],
+                   help="downsample-offset RNG: 'keyed' (default; "
+                        "deterministic per-gene JAX PRNG, the documented "
+                        "fix of the reference's thread-racy global numpy "
+                        "RNG) or 'reference' (reproduce the reference's "
+                        "exact np.random.seed(123) offset stream, its "
+                        "n_jobs=1 behavior — for artifact parity runs)")
     p.add_argument("-v", "--version", action="version",
                    version=f"degnorm-tpu {__version__}")
     return p
@@ -173,7 +181,8 @@ def parse_config(argv: Optional[List[str]] = None,
     nmf = NMFConfig(
         degnorm_iter=args.degnorm_iter, nmf_iter=args.nmf_iter,
         downsample_rate=args.downsample_rate,
-        skip_baseline_selection=args.skip_baseline_selection)
+        skip_baseline_selection=args.skip_baseline_selection,
+        ds_compat=args.ds_compat)
     eng = EngineConfig(dtype=args.dtype, rank1_method=args.rank1_method,
                        trim_fast=args.trim_fast, nmf_tol=args.nmf_tol,
                        profile_dir=args.profile_dir)

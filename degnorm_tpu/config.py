@@ -26,6 +26,19 @@ class NMFConfig:
     bins: int = 20                 # baseline-selection trim bins
     skip_baseline_selection: bool = False
     random_state: int = 123
+    # Systematic-downsample offset source (only meaningful when
+    # downsample_rate > 1):
+    #   "keyed"     (default) — per-(seed, iteration, gene) JAX PRNG keys;
+    #               deterministic, permutation/resume/mesh-invariant (the
+    #               documented fix of the reference's thread-racy global
+    #               numpy RNG, SURVEY.md §2.2).
+    #   "reference" — reproduce the reference's EXACT offset stream: one
+    #               np.random.choice(rate) per gene per iteration in gene
+    #               order from np.random.seed(123) (nmf.py:422,556), which
+    #               is the reference's deterministic behavior at n_jobs=1.
+    #               Opt-in, for all-up artifact parity runs
+    #               (tests/test_twin_run.py); PARITY.md §known deviations.
+    ds_compat: str = "keyed"
 
     def __post_init__(self):
         object.__setattr__(self, "degnorm_iter", abs(int(self.degnorm_iter)))
@@ -53,9 +66,11 @@ class NMFConfig:
 
     def kernel_key(self) -> "NMFConfig":
         """Normalized copy for use as a jit static argument: fields that do
-        not affect the device kernel (outer-iteration count, RNG seed) are
-        zeroed so warm-up runs and production runs share compile caches."""
-        return dataclasses.replace(self, degnorm_iter=0, random_state=0)
+        not affect the device kernel (outer-iteration count, RNG seed,
+        offset source — offsets enter the kernel as data) are zeroed so
+        warm-up runs and production runs share compile caches."""
+        return dataclasses.replace(self, degnorm_iter=0, random_state=0,
+                                   ds_compat="keyed")
 
     @property
     def max_trim_rounds(self) -> int:

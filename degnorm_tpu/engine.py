@@ -54,6 +54,24 @@ def _shard_map_genes(fn, mesh, mesh_axis, gene_args, repl_args):
         *gene_args, *repl_args)
 
 
+def _data_fingerprint(cov_mats, n) -> tuple:
+    """Content-derived dataset fingerprint for the reuse_device_data guard.
+
+    Python id()s are recycled after gc, so a freed dataset replaced by a
+    same-gene-count one at reused addresses could silently pass an
+    identity-based check; shapes plus edge-column sums of the first/last
+    matrices are cheap (O(p) each) and content-based instead."""
+    if not cov_mats:
+        return (n, 0)
+    f0, f1 = cov_mats[0], cov_mats[-1]
+    total_w = sum(int(F.shape[1]) for F in cov_mats)
+    return (n, len(cov_mats), total_w, f0.shape, f1.shape,
+            float(np.asarray(f0[:, 0]).sum()),
+            float(np.asarray(f0[:, -1]).sum()),
+            float(np.asarray(f1[:, 0]).sum()),
+            float(np.asarray(f1[:, -1]).sum()))
+
+
 def _seqpar_safe(eng_cfg: EngineConfig, column_sharded: bool) -> EngineConfig:
     """Column-sharded (seqpar) buckets must not route into Pallas kernels:
     the pallas_call is an opaque custom call GSPMD cannot partition along
@@ -283,9 +301,19 @@ class DegNormResult:
         return self._engine._materialize_estimates()
 
 
+def default_cache_dir() -> str:
+    """JAX_CACHE_DIR, else a per-user compile-cache path (shared by the
+    engine, bench.py and tools/prime_cache.py so primed entries hit)."""
+    import os
+    return os.environ.get(
+        "JAX_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     f"degnorm_jax_cache_uid{os.getuid()}"))
+
+
 def _enable_persistent_compile_cache() -> None:
-    """Point JAX's persistent compilation cache at JAX_CACHE_DIR (default
-    /tmp/degnorm_jax_cache) unless the user already configured one.  The
+    """Point JAX's persistent compilation cache at default_cache_dir()
+    (per-user; JAX_CACHE_DIR overrides) unless already configured.  The
     fused kernels compile in minutes cold but ~5 s warm; without this,
     every fresh CLI process repaid the full compile (only bench.py set
     the cache before round 4).  CPU backends are excluded: XLA:CPU AOT
@@ -297,9 +325,11 @@ def _enable_persistent_compile_cache() -> None:
         if jax.default_backend() == "cpu":
             return
         if jax.config.jax_compilation_cache_dir is None:
-            jax.config.update(
-                "jax_compilation_cache_dir",
-                os.environ.get("JAX_CACHE_DIR", "/tmp/degnorm_jax_cache"))
+            # per-user default: a world-shared /tmp path invites
+            # permission collisions and cross-user cache tampering on
+            # multi-tenant hosts (ADVICE r4); JAX_CACHE_DIR still wins.
+            jax.config.update("jax_compilation_cache_dir",
+                              default_cache_dir())
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:       # pragma: no cover - config API drift
@@ -484,6 +514,24 @@ class DegNormEngine:
             if G not in cache:
                 cache[G] = jnp.zeros((G,), jnp.int32)
             return cache[G]
+        if self.nmf_cfg.ds_compat == "reference":
+            # Reproduce the reference's exact offset stream (nmf.py:422,
+            # 556 at n_jobs=1): np.random.seed(123), then ONE scalar
+            # np.random.choice(rate) per gene per iteration, genes in
+            # input-dict order.  Drawn lazily iteration-by-iteration so
+            # checkpoint resume at iteration k consumes k prior vectors.
+            draws = getattr(self, "_ds_ref_draws", None)
+            if draws is None:
+                draws = []
+                self._ds_ref_draws = draws
+                self._ds_ref_rs = np.random.RandomState(
+                    self.nmf_cfg.random_state)
+            while len(draws) <= iteration:
+                rs = self._ds_ref_rs
+                draws.append(np.array(
+                    [rs.choice(self.nmf_cfg.downsample_rate)
+                     for _ in range(self._n_genes)], np.int32))
+            return draws[iteration][np.maximum(bucket.gene_indices, 0)]
         # draw the global vector once per iteration (the eager PRNG ops
         # round-trip the device relay; per-bucket redraws multiplied that)
         cache = getattr(self, "_ds_cache", None)
@@ -509,10 +557,10 @@ class DegNormEngine:
         ``reuse_device_data``: opt-in refit on the previous ``run``'s
         device-resident buckets — the packer and host->device upload are
         skipped entirely.  The CALLER asserts the coverage CONTENTS are
-        unchanged; a cheap fingerprint (mapping identity + gene count +
-        first/last matrix identity) guards against accidentally passing a
-        different dataset, but changed values inside the same arrays are
-        not detected.  Gene order inside buckets may differ from a fresh
+        unchanged; a cheap content-derived fingerprint (gene count, total
+        width, first/last matrix shapes and edge-column sums) guards
+        against accidentally passing a different dataset, but changed
+        values inside the same arrays are not fully detected.  Gene order inside buckets may differ from a fresh
         pack (the previous run's presort persists), which is
         result-invariant (results scatter through gene_indices).  Used by
         steady-state benchmarking and repeated fits over one dataset.
@@ -544,9 +592,13 @@ class DegNormEngine:
                 transient = any(s in low for s in
                                 ("http 500", "compile_helper",
                                  "remote_compile", "subprocess exit",
-                                 "deadline", "unavailable"))
-                if not ((pallas_issue or transient)
-                        and self.eng_cfg.use_pallas):
+                                 "deadline exceeded", "unavailable"))
+                # transient retry is backend-independent (an identical
+                # HTTP 500 can hit the XLA fallback path's compiles too,
+                # ADVICE r4); the vmem/XLA escalation ladder only makes
+                # sense when Pallas kernels are in play.
+                if not ((transient and not self._transient_retried)
+                        or (pallas_issue and self.eng_cfg.use_pallas)):
                     raise
                 import logging
                 if transient and not self._transient_retried:
@@ -596,9 +648,11 @@ class DegNormEngine:
 
         t0 = _time.perf_counter()
         self.timings = {}
-        fingerprint = (id(cov_dat), n,
-                       id(cov_mats[0]) if cov_mats else 0,
-                       id(cov_mats[-1]) if cov_mats else 0)
+        # fresh downsample-offset stream per fit (the reference re-seeds
+        # np.random.seed(123) inside every run(), nmf.py:556)
+        self._ds_ref_draws = None
+        self._ds_cache = None
+        fingerprint = _data_fingerprint(cov_mats, n)
         reuse = (reuse_device_data and self._buckets
                  and getattr(self, "_packed_fp", None) == fingerprint
                  and len(self._device_F) == len(self._buckets))

@@ -70,8 +70,10 @@ class ReadColumns:
     pair_hash: Optional[np.ndarray] = None
     mate_code: Optional[np.ndarray] = None
     # Ownership keepalive when the columns are zero-copy views over the
-    # native reader's buffers (_cols_from_native) — freeing happens when
-    # this object is collected.  Treat such columns as read-only.
+    # native reader's buffers (_cols_from_native).  Each such column ALSO
+    # carries the owner on its own .base chain (_OwnedNativeView), so
+    # freeing happens only after the last view is collected; the views
+    # are read-only (writes raise).
     native_keep: Optional[object] = None
 
     def __len__(self):
@@ -365,6 +367,23 @@ class LazyQnames:
         return a.copy() if copy else a
 
 
+class _OwnedNativeView:
+    """``__array_interface__`` shim: ``np.asarray`` of this object yields a
+    zero-copy view whose ``.base`` IS this object, which holds the
+    _NativeOwner — so every derived view's base chain keeps the native
+    allocation alive (freed-memory reads are impossible by construction,
+    not by convention)."""
+
+    def __init__(self, addr, count, dtype, owner):
+        self._owner = owner
+        self.__array_interface__ = {
+            "shape": (int(count),),
+            "typestr": np.dtype(dtype).str,
+            "data": (int(addr), True),   # read-only
+            "version": 3,
+        }
+
+
 class _NativeOwner:
     """Keeps a populated DnBamData's allocations alive while any column
     view references them (carried in ReadColumns.native_keep); frees the
@@ -403,16 +422,22 @@ def _cols_from_native(data, lib=None) -> ReadColumns:
 
     n = int(data.n_reads)
     copy = lib is None
+    keep = None if copy else _NativeOwner(lib, data)
 
     def arr(ptr, count, dtype):
         if count == 0:
             return np.empty(0, dtype)
-        a = np.ctypeslib.as_array(ptr, shape=(count,))
         if copy:
+            a = np.ctypeslib.as_array(ptr, shape=(count,))
             return a.astype(dtype, copy=True)
-        return a if a.dtype == np.dtype(dtype) else a.view(dtype)
-
-    keep = None if copy else _NativeOwner(lib, data)
+        # Zero-copy view whose .base chain REACHES THE OWNER: consumers
+        # that retain a bare column (or a slice of one) past the
+        # ReadColumns' lifetime keep the native allocation alive instead
+        # of reading freed memory (ADVICE r4 — np.ctypeslib.as_array's
+        # base is only the ctypes array, enforcing the lifetime by
+        # convention).  Marked read-only: the views are a contract.
+        return np.asarray(_OwnedNativeView(
+            ctypes.addressof(ptr.contents), count, dtype, keep))
     coff = arr(data.cigar_offsets, n + 1, np.int64)
     n_cig = int(coff[-1]) if n else 0
     qoff = arr(data.qname_offsets, n + 1, np.int64)

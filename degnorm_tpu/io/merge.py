@@ -84,20 +84,44 @@ def merge_coverage(
                    e_sorted[offs[i]:offs[i + 1]])
                for i, g in enumerate(uniq)}
 
-        # ---- isolated genes: slice chromosome vectors at exon unions ----
+        # ---- emission order mirrors the reference EXACTLY: all genes of
+        # the chromosome sorted by gene_end (stable over exon-row order,
+        # reads_coverage_merge.py:248-252) — the reference's isolated
+        # slicing loop emits EVERY gene in that order and the overlap
+        # dict merge `{**iso, **overlap}` only overwrites VALUES, keeping
+        # the gene_end-slot positions (merge_coverage:432).  The twin-run
+        # artifact diff (tests/test_twin_run.py) pins this contract.
         any_iso = any(cc is not None and cc.isolated_coverage is not None
                       for cc in per_sample)
-        iso_genes_order = (
-            cdf[["gene", "gene_end"]].drop_duplicates()
-            .sort_values("gene_end").gene.tolist())
+        gene_end_order = cdf.sort_values(
+            "gene_end", kind="stable").gene.unique().tolist()
         overlap_genes_present = set()
+        overlap_insert_order = []
         for cc in per_sample:
             if cc is not None:
-                overlap_genes_present |= set(cc.overlap_coverage.keys())
+                for g in cc.overlap_coverage:
+                    if g not in overlap_genes_present:
+                        overlap_genes_present.add(g)
+                        overlap_insert_order.append(g)
+
+        def _emit_overlap(gene):
+            rows = []
+            L = None
+            for cc in per_sample:
+                v = None if cc is None else cc.overlap_coverage.get(gene)
+                if v is not None:
+                    L = len(v)
+            if L is None:
+                return
+            for cc in per_sample:
+                v = None if cc is None else cc.overlap_coverage.get(gene)
+                rows.append(np.zeros(L) if v is None else v.astype(float))
+            gene_cov[gene] = np.vstack(rows)
 
         if any_iso:
-            for gene in iso_genes_order:
+            for gene in gene_end_order:
                 if gene in overlap_genes_present:
+                    _emit_overlap(gene)
                     continue
                 s, e = seg[gene]
                 tx = exon_union_from_arrays(s, e)
@@ -108,20 +132,10 @@ def merge_coverage(
                     else:
                         rows.append(cc.isolated_coverage[tx].astype(float))
                 gene_cov[gene] = np.vstack(rows)
-
-        # ---- overlap genes: stack stored per-gene vectors ----
-        for gene in sorted(overlap_genes_present):
-            rows = []
-            L = None
-            for cc in per_sample:
-                v = None if cc is None else cc.overlap_coverage.get(gene)
-                if v is not None:
-                    L = len(v)
-            if L is None:
-                continue
-            for cc in per_sample:
-                v = None if cc is None else cc.overlap_coverage.get(gene)
-                rows.append(np.zeros(L) if v is None else v.astype(float))
-            gene_cov[gene] = np.vstack(rows)
+        else:
+            # no chromosome coverage at all: the reference's iso dict is
+            # empty, so only overlap genes appear — in ETL insertion order
+            for gene in overlap_insert_order:
+                _emit_overlap(gene)
 
     return gene_cov

@@ -391,8 +391,12 @@ def _cold_start(cfg: PipelineConfig, output_dir: str,
     if write_outputs:
         exon_df.to_csv(os.path.join(output_dir, "gene_exon_metadata.csv"),
                        index=False)
-        read_count_df.to_csv(os.path.join(output_dir, "read_counts.csv"),
-                             index=False)
+        # reference column order is gene-first: __main__.py:181-190 runs
+        # set_index('gene')/loc[genes]/reset_index before the save
+        rc_cols = (["gene"] + [c for c in read_count_df.columns
+                               if c != "gene"])
+        read_count_df[rc_cols].to_csv(
+            os.path.join(output_dir, "read_counts.csv"), index=False)
 
         # raw coverage matrices pickles (reads_coverage_merge.py:439-452)
         gene_chrom = dict(zip(genes_df.gene, genes_df.chr))

@@ -162,3 +162,59 @@ def test_cross_loop_checkpoint_interop(tmp_path):
     np.testing.assert_allclose(dev_resumed.rho, host_full.rho, rtol=1e-12)
     np.testing.assert_allclose(dev_resumed.scale_factors,
                                host_full.scale_factors, rtol=1e-12)
+
+
+def test_checkpoint_elastic_mesh_shapes(tmp_path):
+    """POD ELASTICITY (round-4 verdict item 5): per-iteration checkpoints
+    are mesh-shape-portable — a checkpoint written by the device loop on
+    the 8-virtual-device mesh resumes on a single device, and vice versa,
+    matching the uninterrupted fit bit-compatibly (state is gathered to
+    global-gene-order numpy before hitting disk, so the file format never
+    sees the mesh).  This is what a real pod preemption/resize needs; the
+    reference's distributed loop simply aborts (SURVEY.md §5.3)."""
+    cov, X = make_dataset(seed=9)
+    full = DegNormEngine(CFG, DEV_ENG).run(cov, X)
+    part_cfg = NMFConfig(nmf_iter=6, degnorm_iter=2)
+
+    # 8-device write -> 1-device resume
+    d = tmp_path / "mesh_to_one"; d.mkdir()
+    DegNormEngine(part_cfg, DEV_ENG, mesh=make_mesh()).run(
+        cov, X, checkpoint_dir=str(d))
+    res = DegNormEngine(CFG, DEV_ENG).run(cov, X, checkpoint_dir=str(d))
+    np.testing.assert_allclose(res.rho, full.rho, rtol=1e-12)
+    np.testing.assert_allclose(res.x_adj, full.x_adj, rtol=1e-12)
+    np.testing.assert_array_equal(res.ran_baseline_selection,
+                                  full.ran_baseline_selection)
+
+    # 1-device write -> 8-device resume
+    d2 = tmp_path / "one_to_mesh"; d2.mkdir()
+    DegNormEngine(part_cfg, DEV_ENG).run(cov, X, checkpoint_dir=str(d2))
+    res2 = DegNormEngine(CFG, DEV_ENG, mesh=make_mesh()).run(
+        cov, X, checkpoint_dir=str(d2))
+    np.testing.assert_allclose(res2.rho, full.rho, rtol=1e-12)
+    np.testing.assert_allclose(res2.x_adj, full.x_adj, rtol=1e-12)
+    np.testing.assert_array_equal(res2.ran_baseline_selection,
+                                  full.ran_baseline_selection)
+
+
+def test_checkpoint_elastic_bucket_ladder(tmp_path):
+    """Checkpoint portability across BUCKET LADDERS: resuming under a
+    different bucket_widths configuration (different gene->bucket packing
+    and padding) must reproduce the run — checkpoint state is keyed by
+    global gene order, and masked-column padding is exact, so decisions
+    and DI are identical."""
+    cov, X = make_dataset(seed=9)
+    alt_eng = EngineConfig(rank1_method="power", dtype="float64",
+                           bucket_widths=(512, 2048), device_loop=True)
+    full = DegNormEngine(CFG, DEV_ENG).run(cov, X)
+
+    part_cfg = NMFConfig(nmf_iter=6, degnorm_iter=2)
+    d = tmp_path / "ladder"; d.mkdir()
+    DegNormEngine(part_cfg, DEV_ENG).run(cov, X, checkpoint_dir=str(d))
+    res = DegNormEngine(CFG, alt_eng).run(cov, X, checkpoint_dir=str(d))
+    np.testing.assert_allclose(res.rho, full.rho, rtol=1e-12)
+    np.testing.assert_allclose(res.x_adj, full.x_adj, rtol=1e-12)
+    np.testing.assert_allclose(res.scale_factors, full.scale_factors,
+                               rtol=1e-12)
+    np.testing.assert_array_equal(res.ran_baseline_selection,
+                                  full.ran_baseline_selection)

@@ -162,3 +162,55 @@ def test_engine_device_update_traffic(df):
     # chose full replication of the small arrays — either way the
     # contract holds; record the count for debugging
     assert "[%s,%s,%s]" % (G, p, W) not in hlo
+
+
+def test_seqpar_column_sharded_step_traffic():
+    """SEQUENCE-PARALLEL (column-sharded) contract, promoted from
+    tools/seqpar_collectives.py (round-4 verdict item 6): on a bucket
+    whose POSITION axis is sharded over the mesh (the outlier-length
+    gene path, EngineConfig.seqpar_width), GSPMD may emit all-reduces
+    only at W-reduction sites — the largest legal payload is the rank-1
+    Gram (Gs, p, p) — and must never replicate the sharded (Gs, p, Ws)
+    coverage buffer (no full-width tensor may appear ANYWHERE in the
+    optimized module, let alone ride a collective)."""
+    from degnorm_tpu.engine import _bucket_step
+    from degnorm_tpu.parallel.seqpar import shard_columns
+
+    Gs, Ws = 8, 2048
+    mesh = make_mesh()
+    rng = np.random.default_rng(3)
+    t = np.linspace(0, 1, Ws)
+    F = (np.abs(np.sin(np.pi * t))[None, None, :]
+         * (1 + rng.random((Gs, p, 1))) * 20).astype(np.float32)
+    lengths = rng.integers(Ws // 2, Ws + 1, size=Gs)
+    mask = np.arange(Ws)[None, :] < lengths[:, None]
+    F = np.round(F * mask[:, None, :]).astype(np.float32)
+
+    F_s = shard_columns(np.asarray(F), mesh)
+    m_s = shard_columns(np.asarray(mask), mesh)
+    scale = np.ones((p,), np.float32)
+    ds = np.zeros((Gs,), np.int32)
+    cfg = NMFConfig(nmf_iter=4)
+    hlo = _bucket_step.lower(
+        F_s, m_s, scale, ds, cfg.kernel_key(), EngineConfig(),
+        True, None, "genes", True).compile().as_text()
+
+    lines = _collective_lines(hlo)
+    assert lines, "expected collectives on the column-sharded step"
+    # ONE documented exception: XLA lowers the sharded hi-cov rank cumsum
+    # (bin setup, once per step — not in the nmf_iter loop) by gathering
+    # the s32[Gs, Ws] index map: 1/p of the bucket's elements, integer,
+    # never the f32 coverage.  Everything else must stay in the
+    # W-reduction class (the rank-1 Gram, (Gs, p, p), is the largest).
+    cumsum_gathers = [l for l in lines
+                     if "all-gather" in l and "cumsum" in l
+                     and re.search(rf"s\d+\[{Gs},{Ws}\]", l)]
+    assert len(cumsum_gathers) <= 1, "\n".join(cumsum_gathers)
+    rest = [l for l in lines if l not in cumsum_gathers]
+    worst = _max_collective_elems(rest)
+    assert worst <= Gs * p * p, (
+        f"collective carries {worst} elements (Gram bound {Gs * p * p}):\n"
+        + "\n".join(l[:160] for l in rest))
+    # the sharded f32 coverage buffer must never materialize full-width
+    for pat in (f"f32[{Gs},{p},{Ws}]", f"f32[{Gs * p},{Ws}]"):
+        assert pat not in hlo, f"full-width buffer {pat} in module"

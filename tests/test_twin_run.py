@@ -1,0 +1,221 @@
+"""ALL-UP twin run: the reference pipeline vs ours on IDENTICAL inputs.
+
+Drives the reference's complete ``__main__.main()`` (reference
+``degnorm/__main__.py:16-319``) — its real CLI entry, its real ETL, merge,
+GeneNMFOA and save paths, with only pysam/HTSeq replaced by functional
+stubs backed by our own BAM decoder (tests/refstub.py) — on synthetic
+BAM+GTF fixtures, then runs ``degnorm-tpu`` on the SAME files and diffs
+EVERY output artifact:
+
+    read_counts.csv, gene_exon_metadata.csv  — exact
+    degradation_index_scores.csv             — numeric tolerance (below)
+    adjusted_read_counts.csv                 — numeric tolerance
+    ran_baseline_selection.csv               — exact boolean equality
+    <chrom>/estimated_coverage_matrices_*.pkl — shape-exact + tolerance
+
+Configurations mirror the reference CI's own pipeline test
+(``tests/test_zzz_pipeline.py:35-60``): a plain run, the ``-d 50``
+downsampled run, and ``--skip-baseline-selection``.  For ``-d 50`` our CLI
+runs with ``--ds-compat reference`` so the systematic-sample offsets
+reproduce the reference's exact ``np.random.seed(123)`` stream (its
+deterministic n_jobs=1 behavior).
+
+Tolerances (recorded in PARITY.md §all-up twin run): the reference path is
+float64 ARPACK end to end; ours is the f32 device kernel path under the
+f64-grade outer loop, so per-gene DI drift is the engine-vs-oracle
+precision class (~1e-4..5e-3 — tests/test_engine.py uses atol 5e-3).
+"""
+import os
+import pickle
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests import refstub
+
+TOL_DI = dict(rtol=0.0, atol=5e-3)
+TOL_XADJ = dict(rtol=5e-3, atol=1e-6)
+TOL_EST = dict(rtol=5e-2, atol=5e-2)   # per-position envelopes: rank-1
+# fits amplify rho-class drift through the 1/(1-rho) and envelope-refit
+# nonlinearities; estimates are "for visualization purposes" (nmf.py:404)
+
+
+# --------------------------------------------------------------------------
+# fixtures: one simulated dataset shared by all configurations
+# --------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def sim_inputs(tmp_path_factory):
+    from degnorm_tpu.io.simulate import make_genes, write_gtf, \
+        write_sample_bam
+    from degnorm_tpu.io.bai import index_bam
+
+    root = tmp_path_factory.mktemp("twin")
+    rng = np.random.default_rng(97)
+    genes = make_genes(rng, n_genes=10, overlap_fraction=0.25)
+    chrom_len = 120_000
+    gtf = str(root / "twin.gtf")
+    write_gtf(gtf, genes)
+    bams = []
+    for i in range(3):
+        b = str(root / f"twin_s{i}.bam")
+        write_sample_bam(b, genes, chrom_len, seed=400 + i,
+                         mean_reads_per_gene=250,
+                         degradation=0.35 * (i % 2))
+        index_bam(b, b[:-4] + ".bai")
+        bams.append(b)
+    return {"gtf": gtf, "bams": bams, "root": root}
+
+
+def run_reference(parent, sim, extra):
+    """Execute the reference's real __main__.main() and return its run dir."""
+    refstub.install()
+    os.makedirs(parent, exist_ok=True)
+    argv = ["degnorm", "--bam-files", *sim["bams"], "-g", sim["gtf"],
+            "-o", str(parent), "-p", "1", *extra]
+    old_argv = sys.argv
+    sys.argv = argv
+    try:
+        from degnorm import __main__ as ref_main
+        with pytest.raises(SystemExit) as exc:
+            ref_main.main()            # ends in sys.exit(0), __main__.py:319
+        assert exc.value.code in (0, None)
+    finally:
+        sys.argv = old_argv
+    runs = [d for d in os.listdir(parent) if d.startswith("degnorm_")]
+    assert len(runs) == 1
+    return os.path.join(parent, runs[0])
+
+
+def run_ours(parent, sim, extra):
+    from degnorm_tpu.cli import main
+    os.makedirs(parent, exist_ok=True)
+    rc = main(["--bam-files", *sim["bams"], "-g", sim["gtf"],
+               "-o", str(parent), "-p", "1", *extra])
+    assert rc == 0
+    runs = [d for d in os.listdir(parent) if d.startswith("degnorm_")]
+    assert len(runs) == 1
+    return os.path.join(parent, runs[0])
+
+
+# --------------------------------------------------------------------------
+# artifact diff
+# --------------------------------------------------------------------------
+def _aligned(ref_dir, our_dir, name, sort_cols=("chr", "gene")):
+    a = pd.read_csv(os.path.join(ref_dir, name))
+    b = pd.read_csv(os.path.join(our_dir, name))
+    assert list(a.columns) == list(b.columns), f"{name}: column mismatch"
+    a = a.sort_values(list(sort_cols)).reset_index(drop=True)
+    b = b.sort_values(list(sort_cols)).reset_index(drop=True)
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
+    key = [c for c in sort_cols if c in a.columns]
+    pd.testing.assert_frame_equal(a[key], b[key], check_dtype=False)
+    return a, b
+
+
+def diff_artifacts(ref_dir, our_dir, check_order=False):
+    # ---- read_counts.csv: exact ----
+    a, b = _aligned(ref_dir, our_dir, "read_counts.csv",
+                    sort_cols=("gene",))
+    num = [c for c in a.columns if c != "gene" and c != "chr"]
+    np.testing.assert_array_equal(a[num].values, b[num].values,
+                                  err_msg="read_counts.csv")
+
+    # ---- gene_exon_metadata.csv: exact as row sets ----
+    a = pd.read_csv(os.path.join(ref_dir, "gene_exon_metadata.csv"))
+    b = pd.read_csv(os.path.join(our_dir, "gene_exon_metadata.csv"))
+    key = ["chr", "gene", "start", "end"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)],
+                                  b[sorted(b.columns)], check_dtype=False)
+
+    # ---- gene ORDER contract (required for ds_compat=reference) ----
+    di_a = pd.read_csv(os.path.join(ref_dir,
+                                    "degradation_index_scores.csv"))
+    di_b = pd.read_csv(os.path.join(our_dir,
+                                    "degradation_index_scores.csv"))
+    if check_order:
+        assert di_a.gene.tolist() == di_b.gene.tolist(), \
+            "gene order differs from the reference merge order"
+
+    # ---- DI scores ----
+    a, b = _aligned(ref_dir, our_dir, "degradation_index_scores.csv")
+    samples = [c for c in a.columns if c not in ("chr", "gene")]
+    np.testing.assert_allclose(b[samples].values, a[samples].values,
+                               err_msg="degradation_index_scores.csv",
+                               **TOL_DI)
+
+    # ---- adjusted read counts ----
+    a, b = _aligned(ref_dir, our_dir, "adjusted_read_counts.csv")
+    np.testing.assert_allclose(b[samples].values, a[samples].values,
+                               err_msg="adjusted_read_counts.csv",
+                               **TOL_XADJ)
+
+    # ---- ran_baseline_selection.csv: exact booleans ----
+    a, b = _aligned(ref_dir, our_dir, "ran_baseline_selection.csv")
+    iters = [c for c in a.columns if c.startswith("iter_")]
+    assert iters, "no iter_* columns in ran_baseline_selection.csv"
+    np.testing.assert_array_equal(
+        a[iters].values.astype(bool), b[iters].values.astype(bool),
+        err_msg="ran_baseline_selection.csv")
+
+    # ---- per-chrom estimate pickles ----
+    chroms = sorted(set(di_a.chr))
+    for chrom in chroms:
+        fa = os.path.join(ref_dir, chrom,
+                          f"estimated_coverage_matrices_{chrom}.pkl")
+        fb = os.path.join(our_dir, chrom,
+                          f"estimated_coverage_matrices_{chrom}.pkl")
+        assert os.path.isfile(fa) and os.path.isfile(fb)
+        with open(fa, "rb") as f:
+            ea = pickle.load(f)
+        with open(fb, "rb") as f:
+            eb = pickle.load(f)
+        assert set(ea) == set(eb), f"estimate gene sets differ on {chrom}"
+        for g in ea:
+            assert ea[g].shape == eb[g].shape, f"estimate shape: {g}"
+            scale = max(float(np.abs(ea[g]).max()), 1.0)
+            np.testing.assert_allclose(
+                np.asarray(eb[g], float) / scale,
+                np.asarray(ea[g], float) / scale,
+                err_msg=f"estimated coverage {g}", **TOL_EST)
+
+
+# --------------------------------------------------------------------------
+# the three reference-CI configurations
+# --------------------------------------------------------------------------
+def test_twin_plain(tmp_path, sim_inputs):
+    extra = ["--nmf-iter", "20", "--iter", "2"]
+    ref_dir = run_reference(tmp_path / "ref", sim_inputs, extra)
+    our_dir = run_ours(tmp_path / "ours", sim_inputs, extra)
+    diff_artifacts(ref_dir, our_dir, check_order=True)
+
+
+def test_twin_downsample_d50(tmp_path, sim_inputs):
+    """The reference CI's own configuration (-d 50, nmf-iter 50,
+    test_zzz_pipeline.py:35-60) — also the first e2e CLI test with
+    downsampling at all.  ds-compat=reference makes the offset streams
+    identical, which requires the gene orders to match (asserted)."""
+    extra = ["-d", "50", "--nmf-iter", "50", "--iter", "2"]
+    ref_dir = run_reference(tmp_path / "ref", sim_inputs, extra)
+    our_dir = run_ours(tmp_path / "ours", sim_inputs,
+                       extra + ["--ds-compat", "reference"])
+    diff_artifacts(ref_dir, our_dir, check_order=True)
+
+
+def test_twin_skip_baseline_selection(tmp_path, sim_inputs):
+    extra = ["-s", "--nmf-iter", "20", "--iter", "2"]
+    ref_dir = run_reference(tmp_path / "ref", sim_inputs, extra)
+    our_dir = run_ours(tmp_path / "ours", sim_inputs, extra)
+    diff_artifacts(ref_dir, our_dir, check_order=True)
+
+
+def test_twin_minimax_filter(tmp_path, sim_inputs):
+    """--minimax-coverage exercises the pipeline-level gene filter
+    (__main__.py:221-238) in both implementations."""
+    extra = ["--minimax-coverage", "5", "--nmf-iter", "15", "--iter", "2"]
+    ref_dir = run_reference(tmp_path / "ref", sim_inputs, extra)
+    our_dir = run_ours(tmp_path / "ours", sim_inputs, extra)
+    diff_artifacts(ref_dir, our_dir, check_order=True)

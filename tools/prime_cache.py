@@ -49,7 +49,8 @@ def main():
     args = ap.parse_args()
 
     import jax
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/degnorm_jax_cache")
+    from degnorm_tpu.engine import default_cache_dir
+    cache_dir = default_cache_dir()
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
