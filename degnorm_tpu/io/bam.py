@@ -479,7 +479,8 @@ def _parse_records_native(blob: bytes, *, tid: Optional[int],
     data = DnBamData()
     rc = lib.dn_parse_records(
         blob, len(blob), -1 if tid is None else int(tid),
-        1 if drop_unmapped else 0, int(lo), int(hi), ctypes.byref(data))
+        1 if drop_unmapped else 0, int(lo), int(hi), ctypes.byref(data),
+        0)   # 0 = hardware_concurrency (threaded decode, order-preserving)
     if rc != 0:
         err = (data.error or b"?").decode(errors="replace")
         lib.dn_free_bam(ctypes.byref(data))

@@ -405,6 +405,7 @@ def chromosome_coverage_read_counts(
     unique_alignment: bool = True,
     compat: str = "reference",
     native: Optional[bool] = None,
+    n_threads: int = 1,
 ) -> ChromCoverage:
     """Coverage + read counts for one sample on one chromosome
     (reference reads.py:314-818; see module docstring for conventions).
@@ -421,7 +422,8 @@ def chromosome_coverage_read_counts(
         from degnorm_tpu.io.coverage_native import chromosome_coverage_native
         out = chromosome_coverage_native(
             cols, chrom, chrom_len, chrom_gene_df, chrom_exon_df,
-            overlap_dat, paired=paired, unique_alignment=unique_alignment)
+            overlap_dat, paired=paired, unique_alignment=unique_alignment,
+            n_threads=n_threads)
         if out is not None:
             return out
 

@@ -35,6 +35,7 @@ def chromosome_coverage_native(
     *,
     paired: bool,
     unique_alignment: bool = True,
+    n_threads: int = 1,
 ) -> Optional[ChromCoverage]:
     from degnorm_tpu.io.native.build import load_library
     lib = load_library()
@@ -132,7 +133,8 @@ def chromosome_coverage_native(
         _ptr(iso_cov, ctypes.c_int64) if iso_cov is not None else None,
         _ptr(overlap_cov, ctypes.c_int64),
         _ptr(overlap_cov_offsets, ctypes.c_int64),
-        _ptr(read_counts, ctypes.c_int64))
+        _ptr(read_counts, ctypes.c_int64),
+        int(n_threads))
     if rc != 0:
         return None
 

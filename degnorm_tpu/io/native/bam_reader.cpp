@@ -188,7 +188,7 @@ static char* dup_err(const std::string& msg) {
 
 int dn_parse_records(const uint8_t* p, int64_t len, int32_t tid_filter,
                      int drop_unmapped, int64_t pos_min, int64_t pos_max,
-                     DnBamData* out);
+                     DnBamData* out, int n_threads);
 
 // Batch pairing hash over names stored in one concatenated buffer
 // (byte offsets + lengths per name) — lets non-BAM decoders (CRAM) fill
@@ -283,7 +283,8 @@ int dn_read_bam(const char* path, int32_t tid_filter, int drop_unmapped,
     }
 
     int rc = dn_parse_records(p, (int64_t)(end - p), tid_filter,
-                              drop_unmapped, INT64_MIN, INT64_MAX, out);
+                              drop_unmapped, INT64_MIN, INT64_MAX, out,
+                              n_threads);
     if (rc != 0) return rc;
 
     out->n_refs = n_ref;
@@ -300,23 +301,58 @@ int dn_read_bam(const char* path, int32_t tid_filter, int drop_unmapped,
 // starts exactly on a record boundary) into the columnar layout.  Record
 // columns only — header fields of ``out`` stay zero.  ``pos_min``/
 // ``pos_max``: keep records with pos in [pos_min, pos_max).
-int dn_parse_records(const uint8_t* p, int64_t len, int32_t tid_filter,
-                     int drop_unmapped, int64_t pos_min, int64_t pos_max,
-                     DnBamData* out) {
-    const uint8_t* end = p + len;
-    std::vector<int32_t> tid_v, pos_v, rnext_v, nh_v, clens_v;
-    std::vector<uint16_t> flag_v;
-    std::vector<int8_t> cops_v, mate_v;
-    std::vector<uint64_t> phash_v;
-    std::vector<int64_t> coff_v{0}, qoff_v{0};
-    std::string qnames;
-    tid_v.reserve(1 << 20);
+//
+// THREADED (round 5), two-pass: a cheap serial boundary scan (block_size
+// hops) collects split points; pass A counts each interval's kept
+// records/cigar-ops/qname-bytes; outputs are allocated EXACTLY once and
+// pass B decodes every interval directly into its final slice.  No
+// staging buffers, no merge copy (the decode is memory-bound — staging
+// doubled the traffic and was 6x slower at 20M reads).  Record order is
+// preserved, so output is byte-identical at any thread count.
+namespace {
 
+// Pass A: sizes only (kept records, cigar ops, qname bytes) — header
+// loads only, payload untouched.
+struct RangeSizes {
+    int64_t n = 0, cig = 0, qn = 0;
+    bool error = false;
+};
+
+void count_range(const uint8_t* p, const uint8_t* end, int32_t tid_filter,
+                 int drop_unmapped, int64_t pos_min, int64_t pos_max,
+                 RangeSizes& rs) {
     while (p + 4 <= end) {
         int32_t block_size = rd<int32_t>(p);
         const uint8_t* r = p + 4;
         p = r + block_size;
-        if (p > end) { out->error = dup_err("truncated record"); return 1; }
+        if (p > end) { rs.error = true; return; }
+        int32_t refID = rd<int32_t>(r);
+        int32_t pos = rd<int32_t>(r + 4);
+        uint8_t l_read_name = r[8];
+        uint16_t n_cigar = rd<uint16_t>(r + 12);
+        uint16_t flag = rd<uint16_t>(r + 14);
+        if (tid_filter >= 0 && refID != tid_filter) continue;
+        if (drop_unmapped && (flag & 0x4)) continue;
+        if ((int64_t)pos < pos_min || (int64_t)pos >= pos_max) continue;
+        rs.n++;
+        rs.cig += n_cigar;
+        rs.qn += l_read_name;
+    }
+}
+
+// Pass B: decode directly into the final output buffers at given bases —
+// no staging, no merge copy (the decode is memory-bound; staging doubled
+// the traffic).
+void decode_range_into(const uint8_t* p, const uint8_t* end,
+                       int32_t tid_filter, int drop_unmapped,
+                       int64_t pos_min, int64_t pos_max, DnBamData* out,
+                       int64_t r0, int64_t c0, int64_t q0, bool* err) {
+    int64_t ri = r0, ci = c0, qi = q0;
+    while (p + 4 <= end) {
+        int32_t block_size = rd<int32_t>(p);
+        const uint8_t* r = p + 4;
+        p = r + block_size;
+        if (p > end) { *err = true; return; }
         int32_t refID = rd<int32_t>(r);
         int32_t pos = rd<int32_t>(r + 4);
         uint8_t l_read_name = r[8];
@@ -329,49 +365,128 @@ int dn_parse_records(const uint8_t* p, int64_t len, int32_t tid_filter,
         if ((int64_t)pos < pos_min || (int64_t)pos >= pos_max) continue;
 
         const uint8_t* q = r + 32;
-        qnames.append((const char*)q, l_read_name);   // includes NUL
-        qoff_v.push_back((int64_t)qnames.size());
+        memcpy(out->qnames + qi, q, l_read_name);   // includes NUL
+        qi += l_read_name;
+        out->qname_offsets[ri + 1] = qi;
         int8_t suffix = 0;
-        phash_v.push_back(pair_hash_and_suffix(
-            (const char*)q, (size_t)l_read_name - 1, &suffix));
-        mate_v.push_back(suffix);
+        out->pair_hash[ri] = pair_hash_and_suffix(
+            (const char*)q, (size_t)l_read_name - 1, &suffix);
+        out->mate_code[ri] = suffix;
         q += l_read_name;
         for (uint16_t c = 0; c < n_cigar; c++) {
             uint32_t v = rd<uint32_t>(q + 4ull * c);
-            cops_v.push_back((int8_t)(v & 0xF));
-            clens_v.push_back((int32_t)(v >> 4));
+            out->cigar_ops[ci + c] = (int8_t)(v & 0xF);
+            out->cigar_lens[ci + c] = (int32_t)(v >> 4);
         }
-        coff_v.push_back((int64_t)cops_v.size());
+        ci += n_cigar;
+        out->cigar_offsets[ri + 1] = ci;
         q += 4ull * n_cigar;
         const uint8_t* aux = q + (l_seq + 1) / 2 + l_seq;
-        nh_v.push_back(parse_nh(aux, r + block_size));
+        out->nh[ri] = parse_nh(aux, r + block_size);
 
-        tid_v.push_back(refID);
-        pos_v.push_back(pos);
-        flag_v.push_back(flag);
-        rnext_v.push_back(next_refID);
+        out->tid[ri] = refID;
+        out->pos[ri] = pos;
+        out->flag[ri] = flag;
+        out->rnext[ri] = next_refID;
+        ri++;
     }
+}
 
-    // ---- pack outputs ----
-    auto copy_out = [](auto& vec, auto*& ptr) {
-        using T = typename std::remove_reference<decltype(vec)>::type::value_type;
-        ptr = (T*)malloc(vec.size() * sizeof(T));
-        memcpy(ptr, vec.data(), vec.size() * sizeof(T));
-    };
-    out->n_reads = (int64_t)tid_v.size();
-    copy_out(tid_v, out->tid);
-    copy_out(pos_v, out->pos);
-    copy_out(flag_v, out->flag);
-    copy_out(rnext_v, out->rnext);
-    copy_out(nh_v, out->nh);
-    copy_out(cops_v, out->cigar_ops);
-    copy_out(clens_v, out->cigar_lens);
-    copy_out(coff_v, out->cigar_offsets);
-    copy_out(qoff_v, out->qname_offsets);
-    copy_out(phash_v, out->pair_hash);
-    copy_out(mate_v, out->mate_code);
-    out->qnames = (char*)malloc(qnames.size());
-    memcpy(out->qnames, qnames.data(), qnames.size());
+}  // namespace
+
+int dn_parse_records(const uint8_t* p, int64_t len, int32_t tid_filter,
+                     int drop_unmapped, int64_t pos_min, int64_t pos_max,
+                     DnBamData* out, int n_threads) {
+    const uint8_t* end = p + len;
+    int nt = n_threads;
+    if (nt <= 0) nt = (int)std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    if (len < (int64_t)(1 << 22)) nt = 1;   // small blobs: skip the scan
+
+    std::vector<const uint8_t*> splits{p};
+    if (nt > 1) {   // nt == 1: one interval [p, end), no boundary scan
+        // serial boundary scan: record-boundary split points every ~1/64
+        // of the blob (block_size hops only — ~1 load per record)
+        int64_t stride = len / 64;
+        const uint8_t* q = p;
+        int64_t next_mark = stride;
+        while (q + 4 <= end) {
+            int32_t bs = rd<int32_t>(q);
+            const uint8_t* r = q + 4 + bs;
+            if (r > end) { out->error = dup_err("truncated record"); return 1; }
+            if (r - p >= next_mark && r + 4 <= end) {
+                splits.push_back(r);
+                next_mark = (r - p) + stride;
+            }
+            q = r;
+        }
+        nt = std::min<int>(nt, (int)splits.size());
+    }
+    splits.push_back(end);
+
+    // ---- two-pass threaded decode: pass A counts per interval, outputs
+    // are allocated EXACTLY once, pass B writes in place (no staging,
+    // no merge copy — the decode is memory-bound) ----
+    int n_iv = (int)splits.size() - 1;
+    std::vector<RangeSizes> sizes((size_t)nt);
+    {
+        std::vector<std::thread> ths;
+        for (int t = 0; t < nt; t++) {
+            int a = n_iv * t / nt, b = n_iv * (t + 1) / nt;
+            ths.emplace_back([&, a, b, t]() {
+                count_range(splits[a], splits[b], tid_filter,
+                            drop_unmapped, pos_min, pos_max, sizes[t]);
+            });
+        }
+        for (auto& th : ths) th.join();
+    }
+    for (auto& rs : sizes)
+        if (rs.error) { out->error = dup_err("truncated record"); return 1; }
+
+    int64_t n_total = 0, cig_total = 0, qn_total = 0;
+    std::vector<int64_t> rb(nt), cb(nt), qb(nt);   // per-thread bases
+    for (int t = 0; t < nt; t++) {
+        rb[t] = n_total; cb[t] = cig_total; qb[t] = qn_total;
+        n_total += sizes[t].n;
+        cig_total += sizes[t].cig;
+        qn_total += sizes[t].qn;
+    }
+    out->n_reads = n_total;
+    out->tid = (int32_t*)malloc((n_total ? n_total : 1) * sizeof(int32_t));
+    out->pos = (int32_t*)malloc((n_total ? n_total : 1) * sizeof(int32_t));
+    out->flag = (uint16_t*)malloc((n_total ? n_total : 1)
+                                  * sizeof(uint16_t));
+    out->rnext = (int32_t*)malloc((n_total ? n_total : 1)
+                                  * sizeof(int32_t));
+    out->nh = (int32_t*)malloc((n_total ? n_total : 1) * sizeof(int32_t));
+    out->cigar_ops = (int8_t*)malloc((cig_total ? cig_total : 1)
+                                     * sizeof(int8_t));
+    out->cigar_lens = (int32_t*)malloc((cig_total ? cig_total : 1)
+                                       * sizeof(int32_t));
+    out->cigar_offsets = (int64_t*)malloc((n_total + 1) * sizeof(int64_t));
+    out->qname_offsets = (int64_t*)malloc((n_total + 1) * sizeof(int64_t));
+    out->pair_hash = (uint64_t*)malloc((n_total ? n_total : 1)
+                                       * sizeof(uint64_t));
+    out->mate_code = (int8_t*)malloc((n_total ? n_total : 1)
+                                     * sizeof(int8_t));
+    out->qnames = (char*)malloc(qn_total ? qn_total : 1);
+    out->cigar_offsets[0] = 0;
+    out->qname_offsets[0] = 0;
+
+    bool err = false;
+    {
+        std::vector<std::thread> ths;
+        for (int t = 0; t < nt; t++) {
+            int a = n_iv * t / nt, b = n_iv * (t + 1) / nt;
+            ths.emplace_back([&, a, b, t]() {
+                decode_range_into(splits[a], splits[b], tid_filter,
+                                  drop_unmapped, pos_min, pos_max, out,
+                                  rb[t], cb[t], qb[t], &err);
+            });
+        }
+        for (auto& th : ths) th.join();
+    }
+    if (err) { out->error = dup_err("truncated record"); return 1; }
     return 0;
 }
 

@@ -115,7 +115,7 @@ def load_library() -> Optional[ctypes.CDLL]:
             lib.dn_parse_records.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
                 ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
-                ctypes.POINTER(DnBamData)]
+                ctypes.POINTER(DnBamData), ctypes.c_int]
             i8 = ctypes.POINTER(ctypes.c_int8)
             i32 = ctypes.POINTER(ctypes.c_int32)
             i64 = ctypes.POINTER(ctypes.c_int64)
@@ -128,6 +128,7 @@ def load_library() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, i64, i64, i64,
                 ctypes.c_int64, i64, i64,
                 i64, i64, i64, i64,
+                ctypes.c_int,
             ]
             f32 = ctypes.POINTER(ctypes.c_float)
             f64 = ctypes.POINTER(ctypes.c_double)

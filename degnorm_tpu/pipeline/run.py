@@ -183,6 +183,19 @@ def run_pipeline(cfg: PipelineConfig, output_dir: Optional[str] = None,
     timings["filters"] = _time.perf_counter() - _t0
 
     # ---- the device loop ----
+    # Warm the plotting stack on a background thread while the device fit
+    # runs: matplotlib+seaborn+pandas imports cost ~6 s on this image and
+    # used to land inside the serial report phase; the fit is device-bound
+    # (GIL released), so the import is free here.
+    import threading as _threading
+
+    def _warm_plot_stack():
+        try:
+            import degnorm_tpu.report.report  # noqa: F401
+        except Exception:                      # pragma: no cover
+            pass
+    _threading.Thread(target=_warm_plot_stack, daemon=True).start()
+
     _t0 = _time.perf_counter()
     engine = DegNormEngine(cfg.nmf, cfg.engine, mesh=mesh)
     counts = read_count_df[sample_ids].values.astype(np.float64)
@@ -214,6 +227,37 @@ def run_pipeline(cfg: PipelineConfig, output_dir: Optional[str] = None,
                 "timings": timings}
 
     # ---- outputs (reference nmf.py:603-711 contract) ----
+    # The summary report renders CONCURRENTLY with the artifact writes:
+    # with in-memory rho (DI figures) and coverage/estimates (gene
+    # figures) it reads nothing save_results is writing, and the phases
+    # touch disjoint files.  The reference runs them serially
+    # (__main__.py:283-316); at 20k genes that was ~11 s of tail latency.
+    _t_rep0 = _time.perf_counter()
+    rep_done = {}
+
+    def _report_job():
+        try:
+            from degnorm_tpu.report.report import render_report
+            render_report(
+                data_dir=output_dir,
+                degnorm_data={"degnorm_iter": cfg.nmf.degnorm_iter,
+                              "nmf_iter": cfg.nmf.nmf_iter,
+                              "downsample_rate": cfg.nmf.downsample_rate,
+                              "rho": result.rho, "genes": result.genes},
+                bam_files=(list(cfg.bam_files) if not cfg.warm_start_dir
+                           else [cfg.warm_start_dir]),
+                sample_ids=sample_ids, top_n_genes=5,
+                output_dir=output_dir,
+                # reuse the arrays already in memory: no re-unpickling of
+                # the artifacts being written next door
+                cov_data={"raw": gene_cov_dict, "estimate": estimates},
+                exon_df=exon_df)
+        except Exception as e:
+            log.warning("report rendering failed: %s", e)
+        rep_done["wall"] = _time.perf_counter() - _t_rep0
+    rep_thread = _threading.Thread(target=_report_job, daemon=True)
+    rep_thread.start()
+
     _t0 = _time.perf_counter()
     gene_chrom = dict(zip(genes_df.gene, genes_df.chr))
     outputs.save_results(
@@ -228,21 +272,12 @@ def run_pipeline(cfg: PipelineConfig, output_dir: Optional[str] = None,
         _plot_gene_shard(cfg.plot_genes, result.genes, output_dir)
         timings["plots"] = _time.perf_counter() - _t0
 
+    # "report" = tail latency beyond the save/plot phases it overlapped;
+    # "report_render" = the render's own wall for comparison
     _t0 = _time.perf_counter()
-    try:
-        from degnorm_tpu.report.report import render_report
-        render_report(
-            data_dir=output_dir,
-            degnorm_data={"degnorm_iter": cfg.nmf.degnorm_iter,
-                          "nmf_iter": cfg.nmf.nmf_iter,
-                          "downsample_rate": cfg.nmf.downsample_rate,
-                          "rho": result.rho, "genes": result.genes},
-            bam_files=(list(cfg.bam_files) if not cfg.warm_start_dir
-                       else [cfg.warm_start_dir]),
-            sample_ids=sample_ids, top_n_genes=5, output_dir=output_dir)
-    except Exception as e:
-        log.warning("report rendering failed: %s", e)
+    rep_thread.join()
     timings["report"] = _time.perf_counter() - _t0
+    timings["report_render"] = rep_done.get("wall", 0.0)
     log.info("pipeline phase timings (s): %s",
              {k: round(v, 2) for k, v in timings.items()})
 

@@ -141,14 +141,16 @@ class BamSampleProcessor:
         return cols if cols is not None else _empty_cols()
 
     def chromosome_coverage(self, chrom: str, chrom_gene_df, chrom_exon_df,
-                            overlap_dat) -> ChromCoverage:
+                            overlap_dat,
+                            n_threads: int = 1) -> ChromCoverage:
         tid = self.header.ref_names.index(chrom)
         chrom_len = self.header.ref_lengths[tid]
         cols = self._chrom_cols(tid)
         return chromosome_coverage_read_counts(
             cols, chrom, chrom_len, chrom_gene_df, chrom_exon_df,
             overlap_dat, paired=self.paired,
-            unique_alignment=self.unique_alignment, compat=self.compat)
+            unique_alignment=self.unique_alignment, compat=self.compat,
+            n_threads=n_threads)
 
     def coverage_read_counts(self, overlap_by_chrom: Mapping[str, dict],
                              gene_df: pd.DataFrame, exon_df: pd.DataFrame,
@@ -165,6 +167,16 @@ class BamSampleProcessor:
                 self._load_all()
         results: Dict[str, ChromCoverage] = {}
 
+        # IN-CHROMOSOME threading (round 5): when there are fewer
+        # chromosomes than cores (the limit case being single-contig
+        # datasets, e.g. the reference's own chr1-only test data), the
+        # spare cores thread INSIDE the C++ coverage kernel — atomic
+        # integer accumulation, bit-identical to the serial kernel — so
+        # one contig no longer caps ETL at one core.  The reference only
+        # ever threads per chromosome (reads.py:840-847).
+        chrom_workers = min(max(n_jobs, 1), max(len(self.chroms), 1))
+        kernel_threads = max(1, n_jobs // chrom_workers)
+
         def work(chrom):
             if self.save_dir and self._artifacts_exist(chrom):
                 return chrom, self._load_artifacts(chrom)
@@ -172,14 +184,15 @@ class BamSampleProcessor:
                 chrom,
                 gene_df[gene_df.chr == chrom],
                 exon_df[exon_df.chr == chrom],
-                overlap_by_chrom[chrom])
+                overlap_by_chrom[chrom],
+                n_threads=kernel_threads)
             if self.save_dir:
                 self._save_artifacts(cc)
             return chrom, cc
 
         try:
-            if n_jobs > 1 and len(self.chroms) > 1:
-                with ThreadPoolExecutor(max_workers=n_jobs) as ex:
+            if chrom_workers > 1 and len(self.chroms) > 1:
+                with ThreadPoolExecutor(max_workers=chrom_workers) as ex:
                     for chrom, cc in ex.map(work, self.chroms):
                         results[chrom] = cc
             else:

@@ -84,19 +84,44 @@ class CoverageLoader:
         return self
 
 
-def get_coverage_plots(genes, degnorm_dir, figsize=(10, 6), save_dir=None):
+def render_gene_figures(cov_dict, exon_df, sample_ids, figsize=(10, 6),
+                        save_dir=None, n_jobs=None):
+    """Render one before/after figure per gene in ``cov_dict``.
+
+    When saving to disk, figures render CONCURRENTLY on a thread pool
+    (the reference scatters plot genes across MPI ranks instead,
+    __main_mpi__.py:461-488): plot_gene_coverage builds private OO-API
+    figures with construction serialized under visualizations._FIG_LOCK,
+    so the Agg rasterization and Pillow PNG encode (which releases the
+    GIL) overlap across genes.  Figure-object mode stays serial (the
+    returned figures' construction dominates anyway)."""
+    items = list(cov_dict.items())
+
+    def job(item):
+        gene, dat = item
+        gdf = exon_df[exon_df.gene == gene]
+        return plot_gene_coverage(
+            dat["estimate"], f=dat["raw"],
+            x_exon=gdf[["start", "end"]].values, gene=gene,
+            chrom=gdf.chr.iloc[0], sample_ids=sample_ids,
+            save_dir=save_dir, figsize=figsize)
+
+    if save_dir and len(items) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        n = n_jobs or min(len(items), os.cpu_count() or 2)
+        with ThreadPoolExecutor(n) as ex:
+            return list(ex.map(job, items))
+    return [job(it) for it in items]
+
+
+def get_coverage_plots(genes, degnorm_dir, figsize=(10, 6), save_dir=None,
+                       n_jobs=None):
     """Before/after coverage figures for the named genes
     (data_access.py:111-172)."""
     ldr = CoverageLoader(degnorm_dir).load(genes)
-    out = []
-    for gene, dat in ldr.cov_dict.items():
-        gdf = ldr.exon_df[ldr.exon_df.gene == gene]
-        out.append(plot_gene_coverage(
-            dat["estimate"], f=dat["raw"],
-            x_exon=gdf[["start", "end"]].values, gene=gene,
-            chrom=gdf.chr.iloc[0], sample_ids=ldr.sample_ids,
-            save_dir=save_dir, figsize=figsize))
-    return out
+    return render_gene_figures(ldr.cov_dict, ldr.exon_df, ldr.sample_ids,
+                               figsize=figsize, save_dir=save_dir,
+                               n_jobs=n_jobs)
 
 
 def get_coverage_data(genes, degnorm_dir, save_dir=None):

@@ -7,18 +7,29 @@ API mirrors reference ``visualizations.py`` (SURVEY.md §2.1 #12):
 from __future__ import annotations
 
 import os
+import threading
 from typing import Sequence, Union
 
 import matplotlib
 matplotlib.use("agg")
 import matplotlib.pyplot as plt
 from matplotlib import gridspec
+from matplotlib.figure import Figure
 from matplotlib.patches import Rectangle
 import numpy as np
 import pandas as pd
 import seaborn as sns
 
 plt.rcParams.update({"figure.max_open_warning": 0})
+
+# Figure/axes CONSTRUCTION mutates process-global state (seaborn style
+# contexts swap rcParams; axes creation reads them) — serialize it.  The
+# expensive parts (line drawing, layout, Agg rasterization, PNG encode)
+# operate on private Figure objects and run outside the lock, which is
+# what makes the threaded renderers below (report phase, --plot-genes)
+# safe: every figure is an OO-API matplotlib.figure.Figure, never routed
+# through the thread-unsafe pyplot figure manager.
+_FIG_LOCK = threading.RLock()
 
 
 def union_exons(x: np.ndarray) -> np.ndarray:
@@ -53,33 +64,35 @@ def plot_gene_coverage(ke, f, x_exon, gene, chrom, sample_ids=None,
     x_exon = union_exons(np.asarray(x_exon))
     start, end = int(x_exon.min()), int(x_exon.max())
 
-    fig = plt.figure(**kwargs)
+    # construction under the lock (global rc state); everything after —
+    # line drawing, layout, rasterize, PNG encode — is per-figure
+    with _FIG_LOCK, sns.axes_style("darkgrid"):
+        fig = Figure(**kwargs)
+        gs = gridspec.GridSpec(2, 2, width_ratios=[1, 1],
+                               height_ratios=[20, 1])
+        ax_raw = fig.add_subplot(gs[0])
+        ax_est = fig.add_subplot(gs[1])
+        track_axes = [fig.add_subplot(gs[2]), fig.add_subplot(gs[3])]
     fig.suptitle(f"Gene {gene} coverage -- chromosome {chrom}")
-    gs = gridspec.GridSpec(2, 2, width_ratios=[1, 1], height_ratios=[20, 1])
+    for i in range(p):
+        ax_raw.plot(f[i], label=sample_ids[i])
+        ax_est.plot(ke[i], label=sample_ids[i])
+    ax_raw.set_title("Original")
+    ax_est.set_title("Normalized")
+    handles, labels = ax_est.get_legend_handles_labels()
+    for ax in (ax_raw, ax_est):
+        ax.margins(x=0)
 
-    with sns.axes_style("darkgrid"):
-        ax_raw = plt.subplot(gs[0])
-        ax_est = plt.subplot(gs[1])
-        for i in range(p):
-            ax_raw.plot(f[i], label=sample_ids[i])
-            ax_est.plot(ke[i], label=sample_ids[i])
-        ax_raw.set_title("Original")
-        ax_est.set_title("Normalized")
-        handles, labels = ax_est.get_legend_handles_labels()
-        for ax in (ax_raw, ax_est):
-            ax.margins(x=0)
-
-        # exon-junction tracks under each curve panel
-        for gi in (2, 3):
-            ax = plt.subplot(gs[gi])
-            ax.set_xlim(start, end)
-            ax.add_patch(Rectangle((start, 0), width=end - start, height=1,
-                                   fill=True, facecolor="red", lw=1))
-            ax.get_yaxis().set_visible(False)
-            ax.set_xticks([start, end])
-            ax.set_xticklabels([str(start), str(end)])
-            for j in range(x_exon.shape[0] - 1):
-                ax.axvline(x=x_exon[j, 1], ymin=0, ymax=1, color="w", lw=2)
+    # exon-junction tracks under each curve panel
+    for ax in track_axes:
+        ax.set_xlim(start, end)
+        ax.add_patch(Rectangle((start, 0), width=end - start, height=1,
+                               fill=True, facecolor="red", lw=1))
+        ax.get_yaxis().set_visible(False)
+        ax.set_xticks([start, end])
+        ax.set_xticklabels([str(start), str(end)])
+        for j in range(x_exon.shape[0] - 1):
+            ax.axvline(x=x_exon[j, 1], ymin=0, ymax=1, color="w", lw=2)
 
     ncol = len(labels) if len(labels) < 6 else 1
     fig.legend(handles, labels, title="Sample", ncol=ncol,
@@ -91,8 +104,10 @@ def plot_gene_coverage(ke, f, x_exon, gene, chrom, sample_ids=None,
     cdir = os.path.join(save_dir, str(chrom))
     os.makedirs(cdir, exist_ok=True)
     path = os.path.abspath(os.path.join(cdir, f"{gene}_coverage.png"))
-    fig.savefig(path, dpi=150, bbox_inches="tight")
-    plt.close(fig)
+    # no bbox_inches="tight": it re-renders the whole figure a second
+    # time just to measure it (~40% of render cost); tight_layout above
+    # already handles spacing
+    fig.savefig(path, dpi=150)
     return path
 
 
@@ -127,15 +142,43 @@ def _save_or_return(fig, save_dir, fname):
     if save_dir:
         path = os.path.abspath(os.path.join(save_dir, fname))
         fig.savefig(path, dpi=200)
-        plt.close(fig)
         return path
     return fig
 
 
-def get_di_heatmap(data_dir, save_dir=None, figsize=(10, 8)):
+def _new_fig_ax(figsize, style=None):
+    ctx = sns.axes_style(style) if style else _NullCtx()
+    with _FIG_LOCK, ctx:
+        fig = Figure(figsize=figsize)
+        ax = fig.add_subplot(1, 1, 1)
+    return fig, ax
+
+
+class _NullCtx:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+def di_frame(rho, genes, sample_ids, order=True) -> pd.DataFrame:
+    """Build the load_di_scores(order=...) frame directly from in-memory
+    arrays (gene-indexed, alphabetical; samples by ascending mean DI) —
+    lets the pipeline render DI figures without re-reading the CSV it
+    just wrote (and therefore concurrently with writing it)."""
+    df = pd.DataFrame(np.asarray(rho), index=list(genes),
+                      columns=list(sample_ids)).sort_index()
+    if order:
+        df = df[df.mean().sort_values().index.tolist()]
+    return df
+
+
+def get_di_heatmap(data_dir, save_dir=None, figsize=(10, 8), rho_df=None):
     """Genes x samples DI heatmap (visualizations.py:258-293)."""
-    rho_df = load_di_scores(data_dir, order=True)
-    fig, ax = plt.subplots(1, 1, figsize=figsize)
+    if rho_df is None:
+        rho_df = load_di_scores(data_dir, order=True)
+    fig, ax = _new_fig_ax(figsize)
     fig.suptitle("DI score heatmap")
     sns.heatmap(rho_df, cmap="RdBu", cbar_kws={"shrink": 0.5}, ax=ax)
     ax.set_xticklabels(ax.get_xticklabels(), rotation=45)
@@ -143,10 +186,12 @@ def get_di_heatmap(data_dir, save_dir=None, figsize=(10, 8)):
     return _save_or_return(fig, save_dir, "di_heatmap.png")
 
 
-def get_di_correlation(data_dir, save_dir=None, figsize=(8, 6)):
+def get_di_correlation(data_dir, save_dir=None, figsize=(8, 6),
+                       rho_df=None):
     """Sample-wise DI correlation heatmap (visualizations.py:296-330)."""
-    rho_df = load_di_scores(data_dir, order=True)
-    fig, ax = plt.subplots(1, 1, figsize=figsize)
+    if rho_df is None:
+        rho_df = load_di_scores(data_dir, order=True)
+    fig, ax = _new_fig_ax(figsize)
     fig.suptitle("DI score correlation")
     corr = rho_df.corr()
     sns.heatmap(corr, xticklabels=corr.columns.values,
@@ -156,15 +201,15 @@ def get_di_correlation(data_dir, save_dir=None, figsize=(8, 6)):
     return _save_or_return(fig, save_dir, "di_correlation.png")
 
 
-def get_di_boxplots(data_dir, save_dir=None, figsize=(12, 8)):
+def get_di_boxplots(data_dir, save_dir=None, figsize=(12, 8), rho_df=None):
     """Per-sample DI boxplots (visualizations.py:333-372)."""
-    rho_df = load_di_scores(data_dir, order=True)
+    if rho_df is None:
+        rho_df = load_di_scores(data_dir, order=True)
     long_df = rho_df.melt(var_name="sample ID", value_name="DI score")
-    with sns.axes_style("darkgrid"):
-        fig, ax = plt.subplots(1, 1, figsize=figsize)
-        fig.suptitle("DI scores")
-        sns.boxplot(x="sample ID", y="DI score", data=long_df, ax=ax)
-        ax.set_xticklabels(ax.get_xticklabels(), rotation=30)
-        ax.set_xlabel("")
-        fig.tight_layout(rect=[0, 0, 1, 0.95])
+    fig, ax = _new_fig_ax(figsize, style="darkgrid")
+    fig.suptitle("DI scores")
+    sns.boxplot(x="sample ID", y="DI score", data=long_df, ax=ax)
+    ax.set_xticklabels(ax.get_xticklabels(), rotation=30)
+    ax.set_xlabel("")
+    fig.tight_layout(rect=[0, 0, 1, 0.95])
     return _save_or_return(fig, save_dir, "di_boxplots.png")
