@@ -173,6 +173,38 @@ def install():
     _shim_load_di_scores()
 
 
+def pin_paired_tiebreak():
+    """Pin the reference's paired mate-role tie-break to FILE ORDER.
+
+    ``load_chromosome_reads`` sorts reads by ``qname_unpaired`` with
+    pandas' default UNSTABLE quicksort (reads.py:259-261); mates share
+    the key, so which mate lands first — and therefore which one anchors
+    the pair (reads.py:517-520) and which gets clip-disjointified
+    (reads.py:450-470) — is a numpy-sort-internals artifact.  Measured on
+    a 1,709-pair fixture: 858 pairs (50%) flip vs file order, moving
+    per-gene counts by up to 84 on a short gene — i.e. the reference
+    DISAGREES WITH ITSELF across numpy versions by that much.  Our
+    kernel's stable pair ordering (file order) is one deterministic
+    choice of the same semantics; with the reference's tie-break pinned
+    to the same choice, the per-(sample, chrom) artifacts are
+    BYTE-IDENTICAL (tests/test_twin_run.py::test_twin_paired_end,
+    PARITY.md §known deviations)."""
+    import degnorm.reads as rr
+    if getattr(rr.BamReadsProcessor, "_dn_tiebreak_pinned", False):
+        return
+    orig = rr.BamReadsProcessor.load_chromosome_reads
+
+    def load(self, chrom):
+        df = orig(self, chrom)
+        if self.paired:
+            df = df.sort_index().sort_values("qname_unpaired",
+                                             kind="stable")
+        return df
+
+    rr.BamReadsProcessor.load_chromosome_reads = load
+    rr.BamReadsProcessor._dn_tiebreak_pinned = True
+
+
 def _shim_load_di_scores():
     """pandas>=3 copy-on-write makes ``Index.values`` read-only, so the
     reference's in-place ``genes.sort()`` (visualizations.py:236) raises.

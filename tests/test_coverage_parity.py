@@ -160,7 +160,12 @@ def run_reference(tmp_path, rows, gene_df, exon_df, paired,
     if paired:
         df["qname_unpaired"] = df.qname.apply(
             lambda x: ".".join(x.split(".")[:-1]))
-        df = df.sort_values("qname_unpaired")
+        # kind="stable": pin the mate-role tie-break to file order.  The
+        # reference's own unstable quicksort permutes tied mates in a way
+        # that depends on the pandas string backend (this test flipped
+        # pass/fail with `future.infer_string` before pinning) — see
+        # refstub.pin_paired_tiebreak and PARITY.md §known deviations 4b.
+        df = df.sort_values("qname_unpaired", kind="stable")
     proc.load_chromosome_reads = lambda chrom: df.copy()
 
     overlap_dat = get_gene_overlap_structure(gene_df)
