@@ -24,13 +24,15 @@ def main():
     ap.add_argument("--jobs", type=int,
                     default=max(1, (os.cpu_count() or 2)))
     ap.add_argument("--data-dir", default="/tmp/dn_single_chrom_probe")
+    ap.add_argument("--paired", action="store_true")
     args = ap.parse_args()
 
     from degnorm_tpu.io.simulate import make_genes, write_gtf, \
         write_sample_bam
     os.makedirs(args.data_dir, exist_ok=True)
-    bam = os.path.join(args.data_dir, f"one_{args.reads}.bam")
-    gtf = os.path.join(args.data_dir, f"one_{args.reads}.gtf")
+    tag = f"one_{args.reads}" + ("_pe" if args.paired else "")
+    bam = os.path.join(args.data_dir, f"{tag}.bam")
+    gtf = os.path.join(args.data_dir, f"{tag}.gtf")
     rng = np.random.default_rng(9)
     genes = make_genes(rng, n_genes=args.genes, overlap_fraction=0.15)
     if not os.path.isfile(bam):
@@ -38,7 +40,9 @@ def main():
         write_gtf(gtf, genes)
         chrom_len = max(e for g in genes for _, e in g.exons) + 10_000
         write_sample_bam(bam, genes, chrom_len, seed=123,
-                         mean_reads_per_gene=args.reads // args.genes)
+                         mean_reads_per_gene=(args.reads // args.genes
+                                              // (2 if args.paired else 1)),
+                         paired=args.paired)
         print(f"[probe] dataset built in {time.time()-t0:.0f}s "
               f"({os.path.getsize(bam)/1e6:.0f} MB)", flush=True)
 
